@@ -1,0 +1,187 @@
+"""FMD index: bidirectional FM-index over both genome strands, flat layout.
+
+Replaces ropebwt3's run-length-encoded rope BWT (reference
+ping_pong.cpp:244-245 restores it; rb3_fmd_set_intv / rb3_fmd_extend drive
+the search) with a *flat array* layout designed for TPU HBM:
+
+  * ``bwt_words`` int32[nblk, 16] — BWT symbols packed 4 bits each, 128
+    symbols per 64-byte block row;
+  * ``occ``       int32[nblk, 8] — per-block checkpoint: count of each nt6
+    symbol in BWT[0 : 128*b] (2 pad lanes);
+  * ``C``         int64[8]      — cumulative symbol counts over the text.
+
+rank(c, p) = occ[p//128, c] + popcount of c among the first p%128 symbols of
+block p//128 — one 64B block row + one 32B occ row per query, friendly to
+both vectorized host numpy and device gathers.
+
+Text layout: for each chromosome S, append nt6(S), $, nt6(revcomp(S)), $.
+Closure under reverse complement gives the FMD property; sentinels are real
+symbols so no bwa-style "primary" correction is needed.
+
+Extension semantics match rb3_fmd_extend exactly: child interval of symbol c
+gets x[rank side] = C[c] + rank_c(lo), size = rank_c(hi) - rank_c(lo), and
+the opposite coordinate is assigned cumulatively over symbols in the order
+$, T, G, C, A, N (complement-sorted), cf. SURVEY.md §3.3.
+
+$-ordering note: our suffix array breaks sentinel ties by suffix content
+rather than by ropebwt3's string order. Every rank position the search can
+query is >= C[1] (= #sentinels), and symbol counts over prefixes that
+contain the whole $-block are invariant to its internal order, so ping-pong
+search results are identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..utils.seq import COMP6, encode_nt6, revcomp_nt6
+from .suffix_array import suffix_array
+
+BLOCK = 128            # symbols per occ checkpoint block
+WORDS = BLOCK // 8     # int32 words per block (4-bit packed)
+
+
+@dataclasses.dataclass
+class BiInterval:
+    """FMD bi-interval: x0 = SA range start of W, x1 = of revcomp(W), size."""
+    x0: int
+    x1: int
+    size: int
+
+
+def _pack_nibbles(bwt: np.ndarray, nblk: int) -> np.ndarray:
+    padded = np.zeros(nblk * BLOCK, dtype=np.uint32)
+    padded[: len(bwt)] = bwt
+    padded = padded.reshape(nblk, BLOCK // 8, 8)
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    words = (padded << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
+    return words.astype(np.int32)  # bit-identical reinterpret for <2^31 values
+
+
+class FMDIndex:
+    def __init__(self, bwt: np.ndarray, counts: np.ndarray):
+        assert bwt.dtype == np.uint8
+        self.n = int(len(bwt))
+        self.bwt = bwt
+        # C[c] = number of symbols < c in the text (acc[] in rb3)
+        self.C = np.zeros(8, dtype=np.int64)
+        self.C[1:7] = np.cumsum(counts[:6])
+        self.C[7] = self.C[6]
+        nblk = self.n // BLOCK + 1
+        self.nblk = nblk
+        # occ[b, c] = count of symbol c in BWT[0 : 128*b]
+        onehot = np.zeros((nblk * BLOCK, 8), dtype=np.int32)
+        onehot[np.arange(self.n), bwt] = 1
+        csum = np.cumsum(onehot.reshape(nblk, BLOCK, 8), axis=1)
+        occ = np.zeros((nblk, 8), dtype=np.int64)
+        occ[1:] = np.cumsum(csum[:, -1, :], axis=0)[:-1]
+        self.occ = occ.astype(np.int32)
+        self.bwt_words = _pack_nibbles(bwt, nblk)
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_text(cls, text: np.ndarray) -> "FMDIndex":
+        sa = suffix_array(text)
+        bwt = text[(sa - 1) % len(text)]
+        counts = np.bincount(text, minlength=8)
+        return cls(bwt.astype(np.uint8), counts)
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
+                            bwt=self.bwt, C=self.C)
+
+    @classmethod
+    def load(cls, path: str) -> "FMDIndex":
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        data = np.load(path)
+        bwt = data["bwt"]
+        counts = np.bincount(bwt, minlength=8)
+        return cls(bwt, counts)
+
+    # -- host-side queries (numpy; the device path is ops/fmd_jax.py) ------
+
+    def rank6(self, pos) -> np.ndarray:
+        """Counts of symbols 0..5 in BWT[0:pos]; pos may be an array.
+
+        Returns shape pos.shape + (6,).
+        """
+        pos = np.asarray(pos, dtype=np.int64)
+        blk = pos // BLOCK
+        off = pos % BLOCK
+        base = self.occ[blk][..., :6].astype(np.int64)
+        words = self.bwt_words[blk].view(np.uint32)       # [..., 16]
+        shifts = (np.arange(8, dtype=np.uint32) * 4)
+        nibs = (words[..., :, None] >> shifts) & np.uint32(0xF)
+        nibs = nibs.reshape(pos.shape + (BLOCK,))
+        in_range = np.arange(BLOCK) < off[..., None]
+        eq = nibs[..., None] == np.arange(6, dtype=np.uint32)
+        cnt = (eq & in_range[..., None]).sum(axis=-2)
+        return base + cnt
+
+    def set_intv(self, c: int) -> BiInterval:
+        """Bi-interval of the single symbol c (fm6_set_intv, ping_pong.hpp:40)."""
+        return BiInterval(int(self.C[c]), int(self.C[COMP6[c]]),
+                          int(self.C[c + 1] - self.C[c]))
+
+    # cumulative assignment order of the non-rank coordinate: $ then
+    # complement-sorted bases then N (rb3_fmd_extend; see module docstring)
+    _CUM_ORDER = (0, 4, 3, 2, 1, 5)
+
+    def extend(self, ik: BiInterval, is_back: bool) -> Tuple[BiInterval, ...]:
+        """All six child bi-intervals of ik, extended backward or forward."""
+        lo = ik.x0 if is_back else ik.x1
+        tk = self.rank6(lo)
+        tl = self.rank6(lo + ik.size)
+        cnt = tl - tk
+        ok = [BiInterval(0, 0, 0) for _ in range(6)]
+        for c in range(6):
+            x_rank = int(self.C[c] + tk[c])
+            if is_back:
+                ok[c].x0 = x_rank
+            else:
+                ok[c].x1 = x_rank
+            ok[c].size = int(cnt[c])
+        acc = ik.x1 if is_back else ik.x0
+        for c in self._CUM_ORDER:
+            if is_back:
+                ok[c].x1 = acc
+            else:
+                ok[c].x0 = acc
+            acc += int(cnt[c])
+        return tuple(ok)
+
+    # -- convenience for tests --------------------------------------------
+
+    def count_occurrences(self, pattern: np.ndarray) -> int:
+        """Number of occurrences of an nt6 pattern (both strands counted)."""
+        pattern = np.asarray(pattern, dtype=np.uint8)
+        if len(pattern) == 0:
+            return 0
+        ik = self.set_intv(int(pattern[-1]))
+        for c in pattern[-2::-1]:
+            if ik.size == 0:
+                return 0
+            ik = self.extend(ik, True)[int(c)]
+        return ik.size
+
+
+def genome_text(chromosomes: Dict[str, str]) -> np.ndarray:
+    """Concatenate nt6(S) $ nt6(revcomp(S)) $ over all chromosomes."""
+    parts = []
+    zero = np.zeros(1, dtype=np.uint8)
+    for seq in chromosomes.values():
+        enc = encode_nt6(seq)
+        parts.extend([enc, zero, revcomp_nt6(enc), zero])
+    return np.concatenate(parts)
+
+
+def build_index(chromosomes: Dict[str, str]) -> FMDIndex:
+    """Build the two-strand FMD index of a genome (cf. `SVDSS index`)."""
+    return FMDIndex.from_text(genome_text(chromosomes))

@@ -1,0 +1,88 @@
+"""Suffix-array construction.
+
+The reference delegates to ropebwt3 (libsais + RLE ropes, CMakeLists.txt:169)
+to build its .fmd file. We only need the suffix array transiently, to derive
+the BWT and flat occ tables; construction runs on host.
+
+Two backends:
+  * a C++ SA-IS implementation (native/sais.cpp) loaded via ctypes — fast
+    path for whole chromosomes;
+  * a numpy prefix-doubling fallback (O(n log n) with vectorized sorts) —
+    always available, used as the correctness oracle for the native one.
+
+Both treat the text as a plain byte string; sentinel symbols (0) may repeat,
+ties are broken by suffix content, which yields a BWT whose symbol *counts*
+at any rank position >= #sentinels are independent of $-ordering — the only
+property the FMD search relies on (see index/fmd.py notes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(here, "native", "libsvdss_native.so"),
+                 os.path.join(os.path.dirname(__file__), "libsvdss_native.so")):
+        if os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            lib.svdss_sais.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64]
+            lib.svdss_sais.restype = ctypes.c_int
+            _NATIVE = lib
+            break
+    return _NATIVE
+
+
+def suffix_array_doubling(t: np.ndarray) -> np.ndarray:
+    """Prefix-doubling suffix array (numpy, O(n log^2 n) worst case)."""
+    t = np.asarray(t, dtype=np.uint8)
+    n = len(t)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
+    rank = t.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        sa = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        diff = (rank[sa[1:]] != rank[sa[:-1]]) | \
+               (key2[sa[1:]] != key2[sa[:-1]])
+        new_rank[sa] = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(diff)])
+        rank = new_rank
+        if rank[sa[-1]] == n - 1:
+            return sa.astype(np.int64)
+        k *= 2
+
+
+def suffix_array(t: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 text; uses the native SA-IS when available."""
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    n = len(t)
+    lib = _load_native()
+    if lib is not None and n > 1:
+        sa = np.empty(n, dtype=np.int64)
+        rc = lib.svdss_sais(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n))
+        if rc == 0:
+            return sa
+    return suffix_array_doubling(t)
