@@ -1,0 +1,215 @@
+"""``search`` stage: extract sample-specific strings from reads.
+
+Pipeline equivalent of ``PingPong::search`` (ping_pong.cpp:239-397), rebuilt
+around the batched device kernel:
+
+  * stream the (smoothed) BAM, keeping primary alignments with
+    l_qseq >= 100 and (by default) XF == 0 — the same eligibility rules as
+    load_batch_bam/process_batch (ping_pong.cpp:66-79, 196-203);
+  * encode reads to nt6 and pack them into fixed-shape, length-bucketed
+    lane batches (powers of two) so XLA compiles a handful of shapes;
+  * run the lockstep device search (ops/pingpong_jax.py), falling back to
+    the scalar host search for any lane that overflows its emission buffer
+    or iteration budget — output is exact either way;
+  * optionally merge overlapping SFSs per read (ops/assemble.py, on by
+    default like ``--noassemble``'s inverse) and write the 4-column
+    specifics.txt.
+
+Output records appear in BAM order (the reference emits a thread-count-
+dependent per-batch lexicographic permutation, ping_pong.cpp:213-236 with
+``map<string, vector<SFS>>``; downstream parses the file into a map keyed by
+read name, so ordering is immaterial — documented deviation).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..index.fmd import FMDIndex
+from ..io.bam import BamReader
+from ..io.sfs_file import write_sfs_file
+from ..models import SFS
+from ..ops.assemble import assemble
+from ..ops.pingpong_host import ping_pong_search
+from ..utils.seq import encode_nt6
+from ..utils.log import logger
+
+MIN_READ_LEN = 100   # ping_pong.cpp:70
+_MIN_BUCKET = 512
+
+
+def _bucket_len(n: int) -> int:
+    b = _MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
+def eligible_reads_bam(bam_path: str, putative: bool
+                       ) -> Iterator[Tuple[str, str, int]]:
+    """(qname, seq, hp_tag) for reads the search should process."""
+    with BamReader(bam_path) as reader:
+        for rec in reader:
+            if not rec.is_primary:
+                continue
+            if len(rec.seq) < MIN_READ_LEN:
+                continue
+            xf = rec.get_tag("XF", 0)
+            if putative and xf != 0:
+                continue
+            hp = rec.get_tag("HP", 0) or 0
+            yield rec.qname, rec.seq, int(hp)
+
+
+def eligible_reads_fastx(path: str) -> Iterator[Tuple[str, str, int]]:
+    """FASTA/FASTQ input (no filters, hp=0), cf. load_batch_fastq."""
+    import gzip
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rt") as fh:
+        first = fh.read(1)
+        fh.seek(0)
+        if first == ">":
+            name, seq = None, []
+            for line in fh:
+                line = line.rstrip()
+                if line.startswith(">"):
+                    if name:
+                        yield name, "".join(seq), 0
+                    name, seq = line[1:].split()[0], []
+                else:
+                    seq.append(line)
+            if name:
+                yield name, "".join(seq), 0
+        else:
+            while True:
+                h = fh.readline()
+                if not h:
+                    break
+                s = fh.readline().rstrip()
+                fh.readline()
+                fh.readline()
+                yield h[1:].split()[0], s, 0
+
+
+class _DeviceSearcher:
+    """Length-bucketed batching onto the lockstep device kernel."""
+
+    def __init__(self, index: FMDIndex, config: Config):
+        from ..ops.fmd_jax import DeviceFMDIndex
+        self.index = index
+        self.dev = DeviceFMDIndex.from_host(index)
+        self.config = config
+        self.lanes = config.lanes
+        self.cap = config.max_sfs_per_read
+        self.fallbacks = 0
+        self.device_reads = 0
+
+    def search_batch(self, encoded: List[np.ndarray]
+                     ) -> List[List[Tuple[int, int]]]:
+        from ..ops.pingpong_jax import batch_search, pack_reads
+        if not encoded:
+            return []
+        L = _bucket_len(max(len(s) for s in encoded))
+        padded = list(encoded)
+        while len(padded) < self.lanes:
+            padded.append(np.ones(1, dtype=np.uint8))
+        seqs, lens = pack_reads(padded, pad_to=L)
+        res = batch_search(self.dev, seqs, lens, cap=self.cap,
+                           overlap=self.config.overlap)
+        n_sfs = np.asarray(res.n_sfs)
+        qs = np.asarray(res.qs)
+        ln = np.asarray(res.length)
+        bad = np.asarray(res.overflow | res.incomplete)
+        out = []
+        for i in range(len(encoded)):
+            if bad[i]:
+                # exactness guard: host fallback (rare)
+                self.fallbacks += 1
+                out.append(ping_pong_search(self.index, encoded[i],
+                                            self.config.overlap))
+            else:
+                k = int(n_sfs[i])
+                out.append(list(zip(qs[i, :k].tolist(), ln[i, :k].tolist())))
+        self.device_reads += len(encoded)
+        return out
+
+
+def run_search(config: Config, index: FMDIndex,
+               bam: Optional[str] = None, fastx: Optional[str] = None,
+               out=None) -> List[Tuple[str, List[SFS]]]:
+    """Run the search stage; returns (and optionally writes) per-read SFSs."""
+    if bam:
+        reads = eligible_reads_bam(bam, config.putative)
+    elif fastx:
+        reads = eligible_reads_fastx(fastx)
+    else:
+        raise ValueError("search needs a BAM or FASTX input")
+
+    searcher = _DeviceSearcher(index, config) if config.use_device else None
+
+    groups: List[Tuple[str, List[SFS]]] = []
+    t0 = time.time()
+    nreads = 0
+
+    def emit(names_hps: List[Tuple[str, int]],
+             results: List[List[Tuple[int, int]]]) -> None:
+        for (qname, hp), pairs in zip(names_hps, results):
+            if not pairs:
+                continue
+            sfs_list = [SFS(qname, q, l, hp) for q, l in pairs]
+            if config.assemble:
+                sfs_list = assemble(sfs_list)
+            groups.append((qname, sfs_list))
+
+    if searcher is None:
+        for qname, seq, hp in reads:
+            pairs = ping_pong_search(index, encode_nt6(seq), config.overlap)
+            emit([(qname, hp)], [pairs])
+            nreads += 1
+    else:
+        # accumulate per length bucket; flush full batches
+        buckets: Dict[int, List] = {}
+        order: List[Tuple[int, str, int]] = []  # (bucket, qname, idx-in-bucket)
+        results_store: Dict[Tuple[int, int], List] = {}
+        flushed: Dict[int, int] = {}
+
+        def flush(bucket: int) -> None:
+            batch = buckets.pop(bucket, [])
+            if not batch:
+                return
+            encs = [e for _, _, e in batch]
+            res = searcher.search_batch(encs)
+            base = flushed.get(bucket, 0)
+            for k, r in enumerate(res):
+                results_store[(bucket, base + k)] = (batch[k][0],
+                                                     batch[k][1], r)
+            flushed[bucket] = base + len(batch)
+
+        counters: Dict[int, int] = {}
+        for qname, seq, hp in reads:
+            enc = encode_nt6(seq)
+            b = _bucket_len(len(enc))
+            idx = counters.get(b, 0)
+            counters[b] = idx + 1
+            buckets.setdefault(b, []).append((qname, hp, enc))
+            order.append((b, qname, idx))
+            nreads += 1
+            if len(buckets[b]) >= config.lanes:
+                flush(b)
+        for b in list(buckets):
+            flush(b)
+        for b, qname, idx in order:
+            qn, hp, pairs = results_store[(b, idx)]
+            emit([(qn, hp)], [pairs])
+
+    dt = time.time() - t0
+    logger.info("search: %d reads in %.2fs (%.1f reads/s)%s",
+                nreads, dt, nreads / max(dt, 1e-9),
+                f", {searcher.fallbacks} host fallbacks" if searcher else "")
+    if out is not None:
+        write_sfs_file(out, groups)
+    return groups

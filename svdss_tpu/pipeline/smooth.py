@@ -1,0 +1,189 @@
+"""``smooth`` stage: replace SNVs/small indels/errors with reference bases.
+
+Host-side reimplementation of ``Smoother`` (smoother.cpp). Per read, walk the
+CIGAR (smooth_read, smoother.cpp:84-232):
+
+  * M/=/X stretches  -> emit *reference* bases (this erases SNVs), original
+    qualities; merged into the previous M op (plus any pending short-DEL
+    fill length m_diff);
+  * INS <= min_indel_length (20) -> dropped from the read;
+    longer INS kept (likely SV evidence);
+  * DEL <= 20 -> filled with reference bases (m_diff merges the fill into
+    the surrounding M); longer DEL kept as a D op;
+  * soft clips kept verbatim; any other op aborts the walk (smoother.cpp:186).
+
+Reads whose mismatch/match ratio exceeds the sample's ``accp`` percentile
+threshold (first `accuracy_sample` alignments, compute_maxaccuracy,
+smoother.cpp:259-346) are tagged XF=1 and left unmodified; reads with no
+long indel or clip are tagged XF=2; smoothed reads get the new
+sequence/quality/CIGAR and XF=0. Eligibility (load_batch_bam,
+smoother.cpp:498-571): primary alignments, mapq >= min_mapq, length >= 2,
+on a reference chromosome — others are dropped from the output.
+
+Known reference quirk, reproduced for parity: a short-DEL fill immediately
+followed by a kept long INS emits the fill bases before the INS bases in
+the sequence, but the CIGAR records I before the M that includes the fill.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..io.bam import (BamReader, BamRecord, BamWriter, BAM_CMATCH, BAM_CINS,
+                      BAM_CDEL, BAM_CEQUAL, BAM_CDIFF, BAM_CSOFT_CLIP)
+from ..utils.log import logger
+from ..utils.seq import percentile
+
+_MATCH_OPS = (BAM_CMATCH, BAM_CEQUAL, BAM_CDIFF)
+
+
+def _mismatch_stats(rec: BamRecord, ref: str) -> Tuple[int, int]:
+    """(num_match, num_mismatch) over M/=/X ops; stops at unknown ops
+    (compute_maxaccuracy walk, smoother.cpp:314-336)."""
+    nmatch = 0
+    nmis = 0
+    ref_off = rec.pos
+    q_off = 0
+    for ln, op in rec.cigar:
+        if op in _MATCH_OPS:
+            r = ref[ref_off:ref_off + ln]
+            q = rec.seq[q_off:q_off + ln]
+            eq = sum(1 for a, b in zip(r, q) if a == b)
+            nmatch += eq
+            nmis += ln - eq
+            ref_off += ln
+            q_off += ln
+        elif op == BAM_CINS:
+            q_off += ln
+        elif op == BAM_CDEL:
+            ref_off += ln
+        elif op == BAM_CSOFT_CLIP:
+            q_off += ln
+        else:
+            break
+    return nmatch, nmis
+
+
+def compute_max_accuracy(bam_path: str, chroms: Dict[str, str],
+                         config: Config) -> float:
+    """accp percentile of per-read mismatch/match ratios over the first
+    `accuracy_sample` eligible alignments (smoother.cpp:259-346)."""
+    ratios: List[float] = []
+    with BamReader(bam_path) as reader:
+        names = reader.header.names
+        for rec in reader:
+            if len(ratios) >= config.accuracy_sample:
+                break
+            if not rec.is_primary or rec.mapq < config.min_mapq:
+                continue
+            if len(rec.seq) < 2 or rec.tid < 0:
+                continue
+            chrom = names[rec.tid]
+            if chrom not in chroms:
+                continue
+            nmatch, nmis = _mismatch_stats(rec, chroms[chrom])
+            ratios.append(nmis / nmatch if nmatch else float("inf"))
+    if not ratios:
+        return float("inf")
+    ratios.sort()
+    return percentile(ratios, config.accp)
+
+
+def smooth_read(rec: BamRecord, ref: str, config: Config,
+                threshold: float) -> None:
+    """Rewrite rec in place; sets the XF tag (smooth_read, smoother.cpp:84)."""
+    new_seq: List[str] = []
+    new_qual = bytearray()
+    new_cigar: List[Tuple[int, int]] = []
+    should_ignore = True
+    ref_off = rec.pos
+    q_off = 0          # match + ins + soft-clip offset into the read
+    m_diff = 0
+    nmatch = 0
+    nmis = 0
+    qual = rec.qual
+    seq = rec.seq
+    min_indel = config.min_indel_length
+    for ln, op in rec.cigar:
+        if op in _MATCH_OPS:
+            r = ref[ref_off:ref_off + ln]
+            q = seq[q_off:q_off + ln]
+            new_seq.append(r)
+            new_qual += qual[q_off:q_off + ln]
+            eq = sum(1 for a, b in zip(r, q) if a == b)
+            nmatch += eq
+            nmis += ln - eq
+            ref_off += ln
+            q_off += ln
+            if new_cigar and new_cigar[-1][1] == BAM_CMATCH:
+                new_cigar[-1] = (new_cigar[-1][0] + ln + m_diff, BAM_CMATCH)
+            else:
+                new_cigar.append((ln + m_diff, BAM_CMATCH))
+            m_diff = 0
+        elif op == BAM_CINS:
+            if ln > min_indel:
+                should_ignore = False
+                new_seq.append(seq[q_off:q_off + ln])
+                new_qual += qual[q_off:q_off + ln]
+                new_cigar.append((ln, BAM_CINS))
+            q_off += ln
+        elif op == BAM_CDEL:
+            if ln <= min_indel:
+                new_seq.append(ref[ref_off:ref_off + ln])
+                new_qual += qual[q_off:q_off + ln]
+                m_diff += ln
+            else:
+                should_ignore = False
+                new_cigar.append((ln, BAM_CDEL))
+            ref_off += ln
+        elif op == BAM_CSOFT_CLIP:
+            should_ignore = False
+            new_seq.append(seq[q_off:q_off + ln])
+            new_qual += qual[q_off:q_off + ln]
+            new_cigar.append((ln, BAM_CSOFT_CLIP))
+            q_off += ln
+        else:
+            break
+    ratio = nmis / nmatch if nmatch else float("inf")
+    if ratio > threshold:
+        rec.set_tag("XF", "i", 1)     # too dirty: left unmodified
+    elif should_ignore:
+        rec.set_tag("XF", "i", 2)     # nothing SV-like on this read
+    else:
+        rec.seq = "".join(new_seq)
+        rec.qual = bytes(new_qual)
+        rec.cigar = new_cigar
+        rec.set_tag("XF", "i", 0)
+
+
+def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
+               out_path: str) -> Dict[str, int]:
+    """Smooth a BAM into out_path; returns XF-tag counts."""
+    threshold = compute_max_accuracy(bam_path, chroms, config)
+    logger.info("smooth: max allowed mismatch ratio %.5f", threshold)
+    stats = {0: 0, 1: 0, 2: 0, "dropped": 0}
+    t0 = time.time()
+    nproc = 0
+    with BamReader(bam_path) as reader:
+        names = reader.header.names
+        with BamWriter(out_path, reader.header) as writer:
+            for rec in reader:
+                nproc += 1
+                if (not rec.is_primary or rec.mapq < config.min_mapq
+                        or len(rec.seq) < 2 or rec.tid < 0
+                        or names[rec.tid] not in chroms):
+                    stats["dropped"] += 1
+                    continue
+                smooth_read(rec, chroms[names[rec.tid]], config, threshold)
+                stats[rec.get_tag("XF")] += 1
+                writer.write(rec)
+    dt = time.time() - t0
+    logger.info("smooth: %d alignments in %.2fs (%.1f aln/s); "
+                "XF0=%d XF1=%d XF2=%d dropped=%d", nproc, dt,
+                nproc / max(dt, 1e-9), stats[0], stats[1], stats[2],
+                stats["dropped"])
+    return stats

@@ -1,0 +1,72 @@
+import io as _io
+
+import numpy as np
+import pytest
+
+from svdss_tpu.config import Config
+from svdss_tpu.index.fmd import build_index
+from svdss_tpu.io.sfs_file import parse_sfs_file
+from svdss_tpu.models import SFS
+from svdss_tpu.ops.assemble import assemble
+from svdss_tpu.pipeline.search import run_search
+from svdss_tpu.pipeline.smooth import run_smooth
+from svdss_tpu.utils.simulate import (make_haplotype, random_genome,
+                                      simulate_reads, write_bam)
+
+
+def test_assemble_matches_reference_semantics():
+    # assembler.cpp:34-56: chain while prev.qs+prev.l > next.qs
+    sfs = [SFS("r", 10, 5, 1), SFS("r", 14, 6, 1), SFS("r", 30, 4, 1),
+           SFS("r", 33, 2, 1), SFS("r", 50, 3, 1)]
+    out = assemble(sfs)
+    assert [(s.qs, s.l) for s in out] == [(10, 10), (30, 5), (50, 3)]
+    # touching (prev end == next start) does NOT chain
+    out2 = assemble([SFS("r", 0, 5, 0), SFS("r", 5, 5, 0)])
+    assert [(s.qs, s.l) for s in out2] == [(0, 5), (5, 5)]
+
+
+@pytest.fixture(scope="module")
+def pipeline_data(tmp_path_factory):
+    rng = np.random.default_rng(777)
+    tmp = tmp_path_factory.mktemp("pipe")
+    chroms = random_genome(rng, {"chrS": 40000})
+    hap1 = make_haplotype(rng, "chrS", chroms["chrS"], n_ins=2, n_del=2,
+                          min_len=60, max_len=150)
+    hap2 = make_haplotype(rng, "chrS", chroms["chrS"], n_ins=0, n_del=0)
+    recs = simulate_reads(rng, [hap1, hap2], coverage=8, read_len=2000,
+                          snv_rate=0.002, indel_rate=0.0005)
+    bam = tmp / "reads.bam"
+    write_bam(str(bam), chroms, recs)
+    smoothed = tmp / "smoothed.bam"
+    cfg = Config(use_device=False)
+    run_smooth(cfg, chroms, str(bam), str(smoothed))
+    index = build_index(chroms)
+    return chroms, hap1, str(smoothed), index, cfg
+
+
+def test_search_host_finds_sv_evidence(pipeline_data, tmp_path):
+    chroms, hap1, smoothed, index, cfg = pipeline_data
+    buf = _io.StringIO()
+    groups = run_search(cfg, index, bam=smoothed, out=buf)
+    assert groups, "no SFS found at all"
+    total = sum(len(g[1]) for g in groups)
+    assert total > 0
+    # smoothed reads near SV sites must carry SFSs; write+parse roundtrip
+    p = tmp_path / "specifics.txt"
+    p.write_text(buf.getvalue())
+    parsed = parse_sfs_file(str(p))
+    assert sum(len(v) for v in parsed.values()) == total
+    # every SFS has sane coordinates
+    for qname, sfs_list in groups:
+        for s in sfs_list:
+            assert s.qs >= 0 and s.l >= 1
+
+
+def test_search_device_matches_host(pipeline_data):
+    chroms, hap1, smoothed, index, _ = pipeline_data
+    cfg_host = Config(use_device=False)
+    cfg_dev = Config(use_device=True, lanes=16, max_sfs_per_read=128)
+    host_groups = run_search(cfg_host, index, bam=smoothed)
+    dev_groups = run_search(cfg_dev, index, bam=smoothed)
+    assert [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in host_groups] \
+        == [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in dev_groups]
