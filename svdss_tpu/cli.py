@@ -1,0 +1,248 @@
+"""Command-line interface: ``svdss-tpu index|smooth|search|call|run``.
+
+Mirrors the reference CLI (main.cpp:55-81, flags config.cpp:30-55 /
+config.hpp:14-52) plus an end-to-end ``run`` driver replicating the
+``run_svdss`` shell pipeline (run_svdss:136-204) entirely in-process:
+index -> smooth -> search -> call (stages are skipped when their output
+file already exists, which is also the checkpoint/resume mechanism), with
+the internal genotyper standing in for the external ``kanpig gt`` step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .config import Config
+from .utils.log import logger, set_verbose
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--threads", type=int, default=4,
+                   help="worker threads for host-side stages (default: 4)")
+    p.add_argument("--bsize", type=int, default=10000,
+                   help="batch size (default: 10000)")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--no-device", action="store_true",
+                   help="run the search on the host instead of the TPU")
+    p.add_argument("--lanes", type=int, default=2048,
+                   help="device search batch width (default: 2048)")
+
+
+def _cfg(args: argparse.Namespace) -> Config:
+    cfg = Config(
+        threads=getattr(args, "threads", 4),
+        batch_size=getattr(args, "bsize", 10000),
+        verbose=getattr(args, "verbose", False),
+        use_device=not getattr(args, "no_device", False),
+        lanes=getattr(args, "lanes", 2048),
+    )
+    for field in ("accp", "min_mapq", "min_sv_length", "min_cluster_weight",
+                  "clipped", "max_output"):
+        if hasattr(args, field.replace("-", "_")):
+            setattr(cfg, field, getattr(args, field.replace("-", "_")))
+    if hasattr(args, "noassemble"):
+        cfg.assemble = not args.noassemble
+    if hasattr(args, "noputative"):
+        cfg.putative = not args.noputative
+    if hasattr(args, "noht"):
+        cfg.useht = not args.noht
+    if hasattr(args, "l") and args.l is not None:
+        cfg.min_ratio = args.l
+    set_verbose(cfg.verbose)
+    return cfg
+
+
+def cmd_index(args) -> int:
+    from .io.fasta import load_chromosomes
+    from .index.fmd import build_index
+    chroms = load_chromosomes(args.reference)
+    logger.info("index: %d sequences, %d bp total", len(chroms),
+                sum(len(s) for s in chroms.values()))
+    idx = build_index(chroms)
+    idx.save(args.index)
+    logger.info("index: %d BWT symbols -> %s", idx.n, args.index)
+    return 0
+
+
+def cmd_smooth(args) -> int:
+    from .io.fasta import load_chromosomes
+    from .pipeline.smooth import run_smooth
+    cfg = _cfg(args)
+    chroms = load_chromosomes(args.reference)
+    out = args.out or "/dev/stdout"
+    run_smooth(cfg, chroms, args.bam, out)
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .index.fmd import FMDIndex
+    from .pipeline.search import run_search
+    cfg = _cfg(args)
+    index = FMDIndex.load(args.index)
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        run_search(cfg, index, bam=args.bam, fastx=args.fastx, out=out)
+    finally:
+        if args.out:
+            out.close()
+    return 0
+
+
+def cmd_call(args) -> int:
+    from .io.fasta import load_chromosomes
+    from .io.sfs_file import parse_sfs_file
+    from .pipeline.call import run_call
+    from .pipeline.clip import call_clipped
+    cfg = _cfg(args)
+    chroms = load_chromosomes(args.reference)
+    sfs_map = parse_sfs_file(args.sfs)
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        svs, cons, clips = run_call(cfg, chroms, args.bam, sfs_map, out=out)
+        if args.poa:
+            with open(args.poa, "w") as ph:
+                ph.write("@HD\tVN:1.4\n")
+                for name, seq in chroms.items():
+                    ph.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
+                for c in cons:
+                    ph.write(c.sam_line() + "\n")
+        if cfg.clipped:
+            logger.warning("clipped-SV calling is experimental")
+            for sv in call_clipped(clips, svs, chroms, cfg):
+                out.write(sv.vcf_line() + "\n")
+        if args.gt:
+            _regenotype(svs, out)
+    finally:
+        if args.out:
+            out.close()
+    return 0
+
+
+def _regenotype(svs, out) -> None:
+    from .pipeline.genotype import genotype_call, parse_rvec
+    for sv in svs:
+        gt, q = genotype_call(parse_rvec(sv.rvec))
+        sv.set_gt(gt, q)
+
+
+def cmd_run(args) -> int:
+    """End-to-end driver (run_svdss:136-204), artifacts in --workdir."""
+    from .io.fasta import load_chromosomes
+    from .io.sfs_file import parse_sfs_file, write_sfs_file
+    from .index.fmd import FMDIndex, build_index
+    from .pipeline.smooth import run_smooth
+    from .pipeline.search import run_search
+    from .pipeline.call import run_call
+    from .pipeline.genotype import genotype_call, parse_rvec
+
+    cfg = _cfg(args)
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+    index_path = os.path.join(wd, "index.fmd.npz")
+    smoothed_path = os.path.join(wd, "smoothed.bam")
+    sfs_path = os.path.join(wd, "specifics.txt")
+    vcf_path = os.path.join(wd, "variations.vcf")
+
+    chroms = load_chromosomes(args.reference)
+    if os.path.exists(index_path):
+        logger.info("run: reusing existing index %s", index_path)
+        index = FMDIndex.load(index_path)
+    else:
+        index = build_index(chroms)
+        index.save(index_path)
+    if not os.path.exists(smoothed_path):
+        run_smooth(cfg, chroms, args.bam, smoothed_path)
+    else:
+        logger.info("run: reusing %s", smoothed_path)
+    if not os.path.exists(sfs_path):
+        with open(sfs_path, "w") as fh:
+            run_search(cfg, index, bam=smoothed_path, out=fh)
+    else:
+        logger.info("run: reusing %s", sfs_path)
+    sfs_map = parse_sfs_file(sfs_path)
+    with open(vcf_path, "w") as fh:
+        svs, _, _ = run_call(cfg, chroms, smoothed_path, sfs_map, out=None)
+        if not args.no_gt:
+            for sv in svs:
+                gt, q = genotype_call(parse_rvec(sv.rvec))
+                sv.set_gt(gt, q)
+        from .io.vcf import write_vcf
+        write_vcf(fh, chroms, svs)
+    logger.info("run: wrote %s (%d SVs)", vcf_path, len(svs))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="svdss-tpu",
+        description="TPU-native structural-variant discovery from "
+                    "sample-specific strings")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("index", help="build the FMD index of a reference")
+    p.add_argument("--reference", required=True)
+    p.add_argument("--index", required=True)
+    p.add_argument("--threads", type=int, default=4)
+    p.set_defaults(func=cmd_index)
+
+    p = sub.add_parser("smooth", help="smooth a BAM against the reference")
+    p.add_argument("--reference", required=True)
+    p.add_argument("--bam", required=True)
+    p.add_argument("--out", default=None, help="output BAM (default stdout)")
+    p.add_argument("--accp", type=float, default=0.98)
+    p.add_argument("--min-mapq", dest="min_mapq", type=int, default=20)
+    _common(p)
+    p.set_defaults(func=cmd_smooth)
+
+    p = sub.add_parser("search", help="extract sample-specific strings")
+    p.add_argument("--index", required=True)
+    p.add_argument("--bam", default=None)
+    p.add_argument("--fastx", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--omax", dest="max_output", type=int, default=100000)
+    p.add_argument("--noputative", action="store_true")
+    p.add_argument("--noassemble", action="store_true")
+    _common(p)
+    p.set_defaults(func=cmd_search)
+
+    p = sub.add_parser("call", help="call SVs from SFSs")
+    p.add_argument("--reference", required=True)
+    p.add_argument("--bam", required=True)
+    p.add_argument("--sfs", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--poa", default=None)
+    p.add_argument("--min-cluster-weight", dest="min_cluster_weight",
+                   type=int, default=2)
+    p.add_argument("--min-sv-length", dest="min_sv_length", type=int,
+                   default=25)
+    p.add_argument("--min-mapq", dest="min_mapq", type=int, default=20)
+    p.add_argument("--noht", action="store_true")
+    p.add_argument("--clipped", action="store_true")
+    p.add_argument("--gt", action="store_true",
+                   help="genotype with the internal Bayesian genotyper")
+    p.add_argument("-l", type=float, default=None,
+                   help="min length-similarity ratio (default 0.97)")
+    _common(p)
+    p.set_defaults(func=cmd_call)
+
+    p = sub.add_parser("run", help="full pipeline: index+smooth+search+call")
+    p.add_argument("--reference", required=True)
+    p.add_argument("--bam", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--min-cluster-weight", dest="min_cluster_weight",
+                   type=int, default=2)
+    p.add_argument("--min-sv-length", dest="min_sv_length", type=int,
+                   default=25)
+    p.add_argument("--no-gt", action="store_true",
+                   help="skip internal genotyping")
+    _common(p)
+    p.set_defaults(func=cmd_run)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,13 +2,24 @@
 
 The reference performs one `rb3_fmd_extend` per base per read on the CPU
 (ping_pong.cpp:20,35 — ~12 rank queries into a run-length-encoded rope).
-Here the index is three flat HBM arrays (see index/fmd.py) and one *batch*
-of lane extensions is a pair of vectorized rank queries:
+Here the index lives in HBM as ONE fused table sized for vectorized
+lockstep queries — the layout is driven by the measured cost model of XLA's
+TPU gather, which is dominated by the *number of gathered rows* (~11ns/row)
+rather than row bytes:
 
-    gather occ rows + packed-BWT block rows for all lanes
-    -> unpack nibbles, masked popcount per symbol   (VPU-friendly)
-    -> child intervals for the selected symbols.
+  ``fused`` int32[nblk, 48] — one 192-byte row per 128-symbol block:
+      cols  0..5  : occ checkpoint — count of each nt6 symbol in
+                    BWT[0 : 128*b]
+      cols  8..13 : order-prefix checkpoint — count of symbols whose
+                    complement-order position ($, T, G, C, A, N;
+                    SURVEY.md §3.3) is < k, precomputed so the cumulative
+                    coordinate of an FMD extension needs no per-symbol
+                    loop on device
+      cols 16..47 : the block's 128 BWT symbols, 4 bytes per int32 word
+  ``C`` int32[8] — cumulative symbol counts.
 
+One batched extension therefore gathers exactly two rows per lane
+(positions lo and hi) and does two masked-compare popcounts on the VPU.
 Everything is int32 (index text < 2^31 symbols; larger genomes shard by
 chromosome groups across devices).
 """
@@ -23,92 +34,156 @@ import numpy as np
 
 from ..index.fmd import BLOCK, FMDIndex
 
-# cumulative assignment order of the non-rank coordinate in fmd extension:
-# $, T, G, C, A, N (complement-sorted appended symbols; SURVEY.md §3.3)
+# order position of each symbol in the fmd cumulative assignment:
+# $=0, T=1, G=2, C=3, A=4, N=5 (complement-sorted appended symbols)
+_ORD_NP = np.array([0, 4, 3, 2, 1, 5], dtype=np.int32)
 _CUM_ORDER = (0, 4, 3, 2, 1, 5)
-_PREC_NP = np.zeros((6, 6), dtype=np.int32)
-_order_pos = {c: i for i, c in enumerate(_CUM_ORDER)}
-for _d in range(6):
-    for _c in range(6):
-        if _order_pos[_d] < _order_pos[_c]:
-            _PREC_NP[_d, _c] = 1
-
-COMP6_J = jnp.asarray(np.array([0, 4, 3, 2, 1, 5], dtype=np.int32))
-PREC = jnp.asarray(_PREC_NP)
 
 _LOG_BLOCK = int(np.log2(BLOCK))
 assert (1 << _LOG_BLOCK) == BLOCK
+OCC_COLS = 16
+BWT_WORDS = BLOCK // 4
+ROW_WORDS = OCC_COLS + BWT_WORDS
+
+
+def comp6(c: jax.Array) -> jax.Array:
+    """fm6 complement, arithmetic form (no table gather)."""
+    return jnp.where((c >= 1) & (c <= 4), 5 - c, c)
+
+
+def ord6(c: jax.Array) -> jax.Array:
+    """Complement-order position of a symbol, arithmetic form."""
+    return jnp.where(c == 0, 0, jnp.where(c == 5, 5, 5 - c))
+
+
+def _fused_from_host(idx: FMDIndex) -> np.ndarray:
+    nblk = idx.nblk
+    out = np.zeros((nblk, ROW_WORDS), dtype=np.int64)
+    occ6 = idx.occ[:, :6].astype(np.int64)
+    out[:, :6] = occ6
+    for k in range(6):
+        sel = [c for c in range(6) if _ORD_NP[c] < k]
+        if sel:
+            out[:, 8 + k] = occ6[:, sel].sum(axis=1)
+    sym = np.zeros(nblk * BLOCK, dtype=np.int64)
+    sym[: idx.n] = idx.bwt
+    sym = sym.reshape(nblk, BLOCK // 4, 4)
+    shifts = np.arange(4, dtype=np.int64) * 8
+    out[:, OCC_COLS:] = (sym << shifts[None, None, :]).sum(axis=2)
+    assert out.max() < 2**31 and out.min() >= 0
+    return out.astype(np.int32)
 
 
 class DeviceFMDIndex(NamedTuple):
     """FMD index resident in device memory (HBM)."""
-    bwt_words: jax.Array   # [nblk, BLOCK//8] uint32, 4-bit-packed BWT
-    occ: jax.Array         # [nblk, 8] int32 checkpoint counts
+    fused: jax.Array       # [nblk, 48] int32 (see module docstring)
     C: jax.Array           # [8] int32 cumulative symbol counts
 
     @classmethod
     def from_host(cls, idx: FMDIndex) -> "DeviceFMDIndex":
         assert idx.n < 2**31, "single-shard index limited to 2^31 symbols"
         return cls(
-            bwt_words=jnp.asarray(idx.bwt_words.view(np.uint32)),
-            occ=jnp.asarray(idx.occ),
+            fused=jnp.asarray(_fused_from_host(idx)),
             C=jnp.asarray(idx.C.astype(np.int32)),
         )
 
     @property
     def nbytes(self) -> int:
-        return (self.bwt_words.size * 4 + self.occ.size * 4 + self.C.size * 4)
+        return self.fused.size * 4 + self.C.size * 4
+
+
+def _unpack_rows(rows: jax.Array):
+    """[R, 48] fused rows -> (occ [R, 16], sym [R, 128] int32)."""
+    occ = rows[:, :OCC_COLS]
+    words = rows[:, OCC_COLS:]
+    shifts = jnp.arange(4, dtype=jnp.int32) * 8
+    sym = (words[:, :, None] >> shifts[None, None, :]) & 0xFF
+    return occ, sym.reshape(rows.shape[0], BLOCK)
+
+
+def _select_col(mat: jax.Array, col: jax.Array, width: int) -> jax.Array:
+    """Per-row column select via one-hot (cheap for small widths; avoids
+    XLA's slow per-row gather)."""
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+              == col[:, None])
+    return jnp.sum(jnp.where(onehot, mat[:, :width], 0), axis=1,
+                   dtype=mat.dtype)
 
 
 def rank6(index: DeviceFMDIndex, pos: jax.Array) -> jax.Array:
-    """Counts of symbols 0..5 in BWT[0:pos] for a batch of positions.
+    """Counts of all 6 symbols in BWT[0:pos] for a batch of positions.
 
-    pos: [Q] int32 (0 <= pos <= n). Returns [Q, 6] int32.
+    pos: [Q] int32 (0 <= pos <= n). Returns [Q, 6] int32. Used by tests
+    and debugging; the hot path is `extend_select`'s fused form.
     """
     blk = pos >> _LOG_BLOCK
     off = pos & (BLOCK - 1)
-    words = index.bwt_words[blk]               # [Q, BLOCK//8] gather
-    occr = index.occ[blk]                      # [Q, 8] gather
-    shifts = jnp.arange(8, dtype=jnp.uint32) * 4
-    nibs = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(0xF)
-    nibs = nibs.reshape(pos.shape[0], BLOCK).astype(jnp.int32)
+    occ, sym = _unpack_rows(index.fused[blk])
     in_range = jax.lax.broadcasted_iota(
         jnp.int32, (1, BLOCK), 1) < off[:, None]
-    eq = nibs[:, :, None] == jnp.arange(6, dtype=jnp.int32)[None, None, :]
+    eq = sym[:, :, None] == jnp.arange(6, dtype=jnp.int32)[None, None, :]
     cnt = jnp.sum(eq & in_range[:, :, None], axis=1, dtype=jnp.int32)
-    return occr[:, :6] + cnt
+    return occ[:, :6] + cnt
+
+
+def lookup_C(index: DeviceFMDIndex, c: jax.Array) -> jax.Array:
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == c[:, None])
+    return jnp.sum(jnp.where(onehot, index.C[None, :], 0), axis=1,
+                   dtype=jnp.int32)
 
 
 def set_intv(index: DeviceFMDIndex, c: jax.Array):
     """Bi-intervals of single symbols c [Q] (fm6_set_intv, ping_pong.hpp:40)."""
-    x0 = index.C[c]
-    x1 = index.C[COMP6_J[c]]
-    sz = index.C[c + 1] - index.C[c]
+    x0 = lookup_C(index, c)
+    x1 = lookup_C(index, comp6(c))
+    sz = lookup_C(index, c + 1) - x0
     return x0, x1, sz
 
 
 def extend_select(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel, do):
     """Extend each lane's bi-interval by its selected symbol.
 
-    is_back[b]=True: prepend c_sel (ranks at x0 side);
-    is_back[b]=False: ok[c_sel] of a forward extension — i.e. append
-    comp(c_sel) (caller passes c_sel = comp(next base), ping_pong.cpp:36).
-    Lanes with do=False get a dummy (0-width) query and their result is
-    meaningless — callers must mask.
+    is_back[b]=True: prepend c_sel (ranks at the x0 side);
+    is_back[b]=False: forward extension child ok[c_sel] — i.e. append
+    comp(c_sel) (callers pass c_sel = comp(next base), ping_pong.cpp:36).
+    Lanes with do=False get a dummy 0-width query; callers must mask.
+
+    Fused form of rb3_fmd_extend for one selected child: for positions
+    (lo, hi = lo + sz) compute
+        cnt   = rank_c(hi) - rank_c(lo)            -> new size
+        xr    = C[c] + rank_c(lo)                  -> rank-side coordinate
+        xo    = base_other + ordcnt(hi) - ordcnt(lo)
+    where ordcnt(p) counts BWT[0:p) symbols ordered before c in the
+    complement order — exactly the cumulative sum the reference assigns
+    over ok[0],ok[4],ok[3],ok[2],ok[1],ok[5].
     """
     lo = jnp.where(is_back, x0, x1)
     lo = jnp.where(do, lo, 0)
     hi = lo + jnp.where(do, sz, 0)
-    tk = rank6(index, lo)
-    tl = rank6(index, hi)
-    cnt = tl - tk                                            # [Q, 6]
-    xr_all = index.C[None, :6] + tk
+    q = lo.shape[0]
+    pos = jnp.concatenate([lo, hi])                   # [2Q]
+    blk = pos >> _LOG_BLOCK
+    off = pos & (BLOCK - 1)
+    occ, sym = _unpack_rows(index.fused[blk])         # one gather of 2Q rows
+    in_range = jax.lax.broadcasted_iota(
+        jnp.int32, (1, BLOCK), 1) < off[:, None]
+
+    c2 = jnp.concatenate([c_sel, c_sel])
+    o2 = ord6(c2)
+    eq = (sym == c2[:, None]) & in_range
+    rank_c = (jnp.sum(eq, axis=1, dtype=jnp.int32)
+              + _select_col(occ, c2, 8))
+    ordv = ord6(sym)
+    lt = (ordv < o2[:, None]) & in_range
+    ord_c = (jnp.sum(lt, axis=1, dtype=jnp.int32)
+             + _select_col(occ[:, 8:], o2, 8))
+
+    rank_lo, rank_hi = rank_c[:q], rank_c[q:]
+    ord_lo, ord_hi = ord_c[:q], ord_c[q:]
+    sz_n = rank_hi - rank_lo
+    xr = lookup_C(index, c_sel) + rank_lo
     base_other = jnp.where(is_back, x1, x0)
-    xo_all = base_other[:, None] + cnt @ PREC
-    csel = c_sel[:, None]
-    sz_n = jnp.take_along_axis(cnt, csel, axis=1)[:, 0]
-    xr = jnp.take_along_axis(xr_all, csel, axis=1)[:, 0]
-    xo = jnp.take_along_axis(xo_all, csel, axis=1)[:, 0]
+    xo = base_other + (ord_hi - ord_lo)
     x0_n = jnp.where(is_back, xr, xo)
     x1_n = jnp.where(is_back, xo, xr)
     return x0_n, x1_n, sz_n

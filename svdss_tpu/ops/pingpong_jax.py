@@ -2,20 +2,30 @@
 
 The reference runs one serial while-loop per read per CPU thread
 (ping_pong_search, ping_pong.cpp:4-49). Here a batch of Q reads advances in
-lockstep: every `lax.while_loop` iteration performs (at most) one FMD
-extension *per lane*, all lanes sharing two vectorized rank queries. Lanes
-are tiny state machines:
+lockstep: every step performs (at most) one FMD extension *per lane*, all
+lanes sharing one fused two-row-per-lane rank gather (ops/fmd_jax.py).
+Lanes are tiny state machines:
 
     BWD: backward-extend until the current substring is absent or the read
          start is reached;
     FWD: forward-extend from the mismatch until absent again; emit the
          minimal absent substring; restart one base left of its end.
 
+TPU-shaped details (all driven by measured XLA cost):
+
+  * read symbols are served from a per-lane 128-symbol sliding chunk cache
+    held in loop state — the per-lane cursor moves by +-1 per step, so one
+    batched chunk refresh every 24 steps replaces a per-step per-lane
+    dynamic index into [Q, L] (XLA lowers that to a ~300us gather);
+  * SFS emission writes via one-hot masks over the [Q, cap] output buffers
+    instead of scatter (TPU scatter serializes);
+  * the loop is an outer `lax.while_loop` over an inner unrolled
+    `fori_loop` of 24 steps, bounding refresh frequency and loop overhead.
+
 Reads finish at different steps; finished lanes idle (masked) until the
-whole batch drains. The host pipeline packs reads of similar length into a
-batch to bound divergence, and re-runs any lane that exceeds the iteration
-budget through the scalar host path (ops/pingpong_host.py) so results are
-always exact.
+batch drains. The host pipeline packs similar-length reads per batch and
+re-runs any overflow/budget-exceeded lane through the scalar host path
+(ops/pingpong_host.py), so results are always exact.
 
 Produces identical (query_start, length) pairs, in identical emission order
 (descending query position), to the host oracle and hence the reference.
@@ -29,7 +39,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .fmd_jax import COMP6_J, DeviceFMDIndex, extend_select, set_intv
+from .fmd_jax import DeviceFMDIndex, comp6, extend_select, set_intv
+
+CHUNK = 128      # per-lane cached window of the read
+STRIDE = 64      # chunk base granularity
+K_INNER = 24     # steps per chunk refresh (margin: 32 >= 24 + transitions)
 
 
 class PingPongResult(NamedTuple):
@@ -38,12 +52,41 @@ class PingPongResult(NamedTuple):
     n_sfs: jax.Array       # [Q] int32 (clamped at CAP)
     overflow: jax.Array    # [Q] bool — lane emitted more than CAP SFSs
     incomplete: jax.Array  # [Q] bool — lane still active at max_iters
-    iters: jax.Array       # [] int32 — iterations actually run
+    iters: jax.Array       # [] int32 — steps actually run (multiple of 24)
+
+
+def _build_chunks(seqs: jax.Array) -> Tuple[jax.Array, int]:
+    """[Q, W] -> overlapping 128-wide windows at 64-symbol strides.
+
+    Window m covers [64m, 64m + 128); stored as even-base windows followed
+    by odd-base windows (index arithmetic in _chunk_index)."""
+    q, w0 = seqs.shape
+    w = ((w0 + STRIDE - 1) // STRIDE + 2) * STRIDE
+    w = ((w + CHUNK - 1) // CHUNK) * CHUNK
+    pad = jnp.zeros((q, w - w0), dtype=seqs.dtype)
+    s = jnp.concatenate([seqs, pad], axis=1)
+    ev = s.reshape(q, w // CHUNK, CHUNK)
+    od = s[:, STRIDE:w - STRIDE].reshape(q, w // CHUNK - 1, CHUNK)
+    chunks = jnp.concatenate([ev, od], axis=1)
+    n_even = w // CHUNK
+    return chunks, n_even
+
+
+def _chunk_index(m: jax.Array, n_even: int) -> jax.Array:
+    """Window number m (base = 64m) -> row index in the chunks table."""
+    return jnp.where(m % 2 == 0, m // 2, n_even + (m - 1) // 2)
+
+
+def _chunk_select(chunk: jax.Array, off: jax.Array) -> jax.Array:
+    """Per-lane symbol at chunk[:, off] via one-hot (off in [0, 128))."""
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+              == off[:, None])
+    return jnp.sum(jnp.where(onehot, chunk, 0), axis=1, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "max_iters", "overlap"))
 def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
-                 cap: int = 256, max_iters: int = 0,
+                 cap: int = 128, max_iters: int = 0,
                  overlap: int = -1) -> PingPongResult:
     """Run ping-pong search over a padded read batch.
 
@@ -54,12 +97,17 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
     Q, Lp1 = seqs.shape
     if max_iters == 0:
         max_iters = 8 * (Lp1 - 1) + 64
-    lane = jnp.arange(Q, dtype=jnp.int32)
+    max_outer = (max_iters + K_INNER - 1) // K_INNER
     seqs = seqs.astype(jnp.int32)
+    chunks, n_even = _build_chunks(seqs)
+    n_windows = 2 * n_even - 1
+    lane = jnp.arange(Q, dtype=jnp.int32)
 
     begin0 = lens - 1
-    c0 = seqs[lane, begin0]
+    c0 = jnp.take_along_axis(seqs, begin0[:, None], axis=1)[:, 0]
     x0_i, x1_i, sz_i = set_intv(index, c0)
+
+    cap_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
     state = dict(
         it=jnp.int32(0),
@@ -75,82 +123,95 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
     )
 
     def cond(s):
-        return jnp.any(s["active"]) & (s["it"] < max_iters)
+        return jnp.any(s["active"]) & (s["it"] < max_outer * K_INNER)
 
-    def body(s):
-        dir_, begin, end = s["dir"], s["begin"], s["end"]
-        x0, x1, sz = s["x0"], s["x1"], s["sz"]
-        active, nsfs = s["active"], s["nsfs"]
+    def step(carry):
+        (dir_, begin, end, x0, x1, sz, active, nsfs, out_qs, out_l,
+         overflow, chunk, base) = carry
 
         is_bwd = dir_ == 0
         bwd_can = is_bwd & (sz != 0) & (begin > 0)
         fwd_can = (~is_bwd) & (sz != 0)
         do_ext = active & (bwd_can | fwd_can)
 
-        bidx = jnp.maximum(begin - 1, 0)
-        fidx = jnp.minimum(end + 1, Lp1 - 1)
-        c_b = seqs[lane, bidx]
-        c_f_raw = seqs[lane, fidx]
-        c_sel = jnp.where(is_bwd, c_b, COMP6_J[c_f_raw])
+        # single per-lane read-symbol access this step (see module notes)
+        a = jnp.where(is_bwd,
+                      jnp.where(bwd_can, begin - 1, begin),
+                      jnp.where(fwd_can, end + 1, end - 1))
+        a = jnp.maximum(a, 0)
+        c_acc = _chunk_select(chunk, a - base)
+        c_sel = jnp.where(is_bwd, c_acc, comp6(c_acc))
 
         x0n, x1n, szn = extend_select(index, x0, x1, sz, is_bwd, c_sel,
                                       do_ext)
         # forward extension past the last base reads the NUL sentinel; its
         # interval is treated as empty (ping_pong.cpp:31-37 boundary, see
         # ops/pingpong_host.py docstring)
-        szn = jnp.where((~is_bwd) & (c_f_raw == 0), 0, szn)
+        szn = jnp.where((~is_bwd) & (c_acc == 0), 0, szn)
 
         upd_b = active & bwd_can
         upd_f = active & fwd_can
         b_exit = active & is_bwd & ~bwd_can
         f_exit = active & (~is_bwd) & ~fwd_can
 
-        # --- extensions
-        begin = jnp.where(upd_b, begin - 1, begin)
-        end = jnp.where(upd_f, end + 1, end)
+        begin1 = jnp.where(upd_b, begin - 1, begin)
+        end1 = jnp.where(upd_f, end + 1, end)
         x0 = jnp.where(do_ext, x0n, x0)
         x1 = jnp.where(do_ext, x1n, x1)
-        sz = jnp.where(do_ext, szn, sz)
+        sz1 = jnp.where(do_ext, szn, sz)
 
-        # --- backward exit: whole-prefix match terminates the lane,
-        #     otherwise switch to forward phase from the mismatch
+        # backward exit: whole-prefix match terminates, else switch to FWD
         prefix_match = b_exit & (begin == 0) & (sz != 0)
         to_fwd = b_exit & ~prefix_match
 
-        # --- forward exit: emit SFS (begin, end - begin + 1)
+        # forward exit: emit SFS (begin, end - begin + 1) via one-hot
         can_emit = f_exit & (nsfs < cap)
-        slot = jnp.minimum(nsfs, cap - 1)
-        cur_qs = s["out_qs"][lane, slot]
-        cur_l = s["out_l"][lane, slot]
-        out_qs = s["out_qs"].at[lane, slot].set(
-            jnp.where(can_emit, begin, cur_qs))
-        out_l = s["out_l"].at[lane, slot].set(
-            jnp.where(can_emit, end - begin + 1, cur_l))
-        overflow = s["overflow"] | (f_exit & (nsfs >= cap))
+        onehot = (cap_iota == nsfs[:, None]) & can_emit[:, None]
+        out_qs = jnp.where(onehot, begin1[:, None], out_qs)
+        out_l = jnp.where(onehot, (end1 - begin1 + 1)[:, None], out_l)
+        overflow = overflow | (f_exit & (nsfs >= cap))
         nsfs = jnp.where(can_emit, nsfs + 1, nsfs)
 
-        emit_done = f_exit & (begin == 0)
+        emit_done = f_exit & (begin1 == 0)
         if overlap == 0:
-            begin_new = begin - 1
+            begin_new = begin1 - 1
         else:
-            begin_new = end + overlap
+            begin_new = end1 + overlap
         restart = f_exit & ~emit_done
 
-        # --- transitions needing a fresh single-symbol interval
+        # transitions need a fresh single-symbol interval at c_acc
+        # (to_fwd: P[begin]; restart: P[end - 1] == P[begin_new])
         trans = to_fwd | restart
-        t_pos = jnp.clip(jnp.where(to_fwd, begin, begin_new), 0, Lp1 - 1)
-        c_t = seqs[lane, t_pos]
-        x0t, x1t, szt = set_intv(index, c_t)
+        x0t, x1t, szt = set_intv(index, c_acc)
 
         dir_ = jnp.where(to_fwd, 1, jnp.where(restart, 0, dir_))
-        end = jnp.where(to_fwd, begin, end)
-        begin = jnp.where(restart, begin_new, begin)
+        end1 = jnp.where(to_fwd, begin1, end1)
+        begin1 = jnp.where(restart, begin_new, begin1)
         x0 = jnp.where(trans, x0t, x0)
         x1 = jnp.where(trans, x1t, x1)
-        sz = jnp.where(trans, szt, sz)
+        sz1 = jnp.where(trans, szt, sz1)
         active = active & ~(prefix_match | emit_done)
 
-        return dict(it=s["it"] + 1, dir=dir_, begin=begin, end=end,
+        return (dir_, begin1, end1, x0, x1, sz1, active, nsfs, out_qs,
+                out_l, overflow, chunk, base)
+
+    def body(s):
+        # refresh each lane's chunk around its cursor
+        cursor = jnp.clip(jnp.where(s["dir"] == 0, s["begin"], s["end"] + 1),
+                          0, Lp1 - 1)
+        m = jnp.clip((cursor - STRIDE // 2) >> 6, 0, n_windows - 1)
+        ci = _chunk_index(m, n_even)
+        chunk = jnp.take_along_axis(
+            chunks, ci[:, None, None], axis=1)[:, 0]
+        base = m * STRIDE
+
+        carry = (s["dir"], s["begin"], s["end"], s["x0"], s["x1"], s["sz"],
+                 s["active"], s["nsfs"], s["out_qs"], s["out_l"],
+                 s["overflow"], chunk, base)
+        carry = jax.lax.fori_loop(0, K_INNER, lambda i, c: step(c), carry)
+        (dir_, begin, end, x0, x1, sz, active, nsfs, out_qs, out_l,
+         overflow, _, _) = carry
+        return dict(it=s["it"] + K_INNER, dir=dir_, begin=begin, end=end,
                     x0=x0, x1=x1, sz=sz, active=active, nsfs=nsfs,
                     out_qs=out_qs, out_l=out_l, overflow=overflow)
 

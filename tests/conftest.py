@@ -3,13 +3,20 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs the
 # multi-chip path; bench.py runs on the real chip).
-# Force CPU: the environment pre-sets JAX_PLATFORMS=axon (a tunnel to one
-# real TPU chip) which is reserved for bench.py; unit tests must be local.
+#
+# The environment's axon sitecustomize pins jax_platforms="axon,cpu" via
+# jax.config.update at interpreter start, which routes everything through a
+# remote one-chip TPU tunnel; the env var alone cannot override it, so we
+# update the config explicitly after importing jax.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
