@@ -24,18 +24,34 @@ MAX_BLOCK_DATA = 65280  # htslib uses 0xff00 to leave room for the wrapper
 
 
 class BgzfReader(io.RawIOBase):
-    """Sequential BGZF reader exposing a file-like read() interface."""
+    """Sequential BGZF reader exposing a file-like read() interface.
+
+    When the native library is built and a path is given, the whole file is
+    decompressed up front with the parallel C++ inflater (the role htslib's
+    bgzf_mt pool plays in the reference) and served from memory; set
+    SVDSS_TPU_NO_NATIVE=1 to force the streaming pure-Python path."""
 
     def __init__(self, path_or_fh):
+        import os as _os
+        self._fh = None
+        self._own = False
+        self._buf = b""
+        self._pos = 0
+        self._eof = False
+        if (isinstance(path_or_fh, (str, bytes))
+                and not _os.environ.get("SVDSS_TPU_NO_NATIVE")):
+            from .native import bgzf_read_all
+            data = bgzf_read_all(path_or_fh if isinstance(path_or_fh, str)
+                                 else path_or_fh.decode())
+            if data is not None:
+                self._buf = data
+                self._eof = True
+                return
         if isinstance(path_or_fh, (str, bytes)):
             self._fh = open(path_or_fh, "rb")
             self._own = True
         else:
             self._fh = path_or_fh
-            self._own = False
-        self._buf = b""
-        self._pos = 0
-        self._eof = False
 
     def _read_block(self) -> bytes | None:
         hdr = self._fh.read(12)
@@ -99,7 +115,7 @@ class BgzfReader(io.RawIOBase):
         return b"".join(out)
 
     def close(self) -> None:
-        if self._own:
+        if self._own and self._fh is not None:
             self._fh.close()
         super().close()
 

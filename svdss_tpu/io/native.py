@@ -1,0 +1,80 @@
+"""ctypes bindings for the native IO/indexing library (native/*.so).
+
+Equivalent in role to the reference's htslib+libdeflate layer with its
+8-thread BGZF pools (bgzf_mt, ping_pong.cpp:249): fast host-side BAM
+decompression feeding the Python codec. Falls back silently to the pure
+Python path when the library isn't built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(here, "native", "libsvdss_native.so")
+    if os.path.exists(cand):
+        lib = ctypes.CDLL(cand)
+        lib.svdss_bgzf_read.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        lib.svdss_bgzf_read.restype = ctypes.c_int
+        lib.svdss_bam_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64)]
+        lib.svdss_bam_scan.restype = ctypes.c_int
+        lib.svdss_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    return _LIB
+
+
+def bgzf_read_all(path: str, n_threads: int = 4) -> Optional[bytes]:
+    """Decompress a whole BGZF file with the native parallel inflater."""
+    lib = load()
+    if lib is None:
+        return None
+    data = ctypes.c_void_p()
+    size = ctypes.c_int64()
+    rc = lib.svdss_bgzf_read(path.encode(), ctypes.byref(data),
+                             ctypes.byref(size), n_threads)
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(data, size.value)
+    finally:
+        lib.svdss_free(data)
+
+
+def bam_scan(data: bytes) -> Optional[np.ndarray]:
+    """Record table [n, 8] int64: offset, block_size, tid, pos, flag, mapq,
+    l_seq, n_cigar (see native/bamio.cpp)."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = (ctypes.c_char * len(data)).from_buffer_copy(data)
+    recs = ctypes.c_void_p()
+    n = ctypes.c_int64()
+    rc = lib.svdss_bam_scan(buf, len(data), ctypes.byref(recs),
+                            ctypes.byref(n))
+    if rc != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(
+            ctypes.cast(recs, ctypes.POINTER(ctypes.c_int64)),
+            shape=(n.value, 8)).copy()
+    finally:
+        lib.svdss_free(recs)
+    return arr

@@ -520,14 +520,58 @@ def split_cluster(cluster: Cluster, cfg: Config) -> List[Cluster]:
 _CALL_PARAMS = AlignParams()  # caller.cpp:333-337 scores
 
 
+def _emit_cluster_svs(cluster: Cluster, cl: Cluster, consensus: str,
+                      score: int, cigar, chroms: Dict[str, str],
+                      cfg: Config, svs: List[SV],
+                      consensuses: List[Consensus]) -> None:
+    """CIGAR walk emitting INS/DEL >= min_sv_length (caller.cpp:360-404)."""
+    chrom = cl.chrom
+    chrom_seq = chroms[chrom]
+    cigar_str = "".join(f"{ln}{op}" for ln, op in cigar)
+    consensuses.append(Consensus(consensus, cigar_str, chrom, cl.s, cl.e))
+    rpos = cl.s
+    cpos = 0
+    nv = 0
+    _svs: List[SV] = []
+    for ln, op in cigar:
+        if op in ("=", "M"):
+            rpos += ln
+            cpos += ln
+        elif op == "I":
+            if ln >= cfg.min_sv_length:
+                sv = SV("INS", chrom, rpos,
+                        chrom_seq[rpos - 1:rpos],
+                        chrom_seq[rpos - 1:rpos] + consensus[cpos:cpos + ln],
+                        cl.size(), cl.cov, nv, score, False, ln, cigar_str)
+                sv.add_reads(cl.get_names())
+                _svs.append(sv)
+                nv += 1
+            cpos += ln
+        elif op == "D":
+            if ln >= cfg.min_sv_length:
+                sv = SV("DEL", chrom, rpos,
+                        chrom_seq[rpos - 1:rpos + ln],
+                        chrom_seq[rpos - 1:rpos],
+                        cl.size(), cl.cov, nv, score, False, ln, cigar_str)
+                sv.add_reads(cl.get_names())
+                _svs.append(sv)
+                nv += 1
+            rpos += ln
+    for sv in _svs:
+        sv.ngaps = nv
+        sv.set_gt("0/1", 100)
+        sv.set_cov(cl.cov, cl.cov0, cl.cov1, cl.cov2)
+        sv.set_rvec(cluster.reads)
+    svs.extend(_svs)
+
+
 def call_cluster(cluster: Cluster, chroms: Dict[str, str], cfg: Config
                  ) -> Tuple[List[SV], List[Consensus]]:
     """POA + realignment + CIGAR walk for one cluster (caller.cpp:313-405)."""
     from ..utils.seq import encode_nt6
     svs: List[SV] = []
     consensuses: List[Consensus] = []
-    chrom = cluster.chrom
-    chrom_seq = chroms[chrom]
+    chrom_seq = chroms[cluster.chrom]
     for cl in split_cluster(cluster, cfg):
         ref = chrom_seq[cl.s:cl.e + 1]
         consensus = poa_consensus(cl.get_seqs())
@@ -535,58 +579,62 @@ def call_cluster(cluster: Cluster, chroms: Dict[str, str], cfg: Config
             continue
         score, cigar = align_dual_gap(encode_nt6(consensus), encode_nt6(ref),
                                       _CALL_PARAMS)
-        cigar_str = "".join(f"{ln}{op}" for ln, op in cigar)
-        consensuses.append(Consensus(consensus, cigar_str, chrom, cl.s, cl.e))
-        rpos = cl.s
-        cpos = 0
-        nv = 0
-        _svs: List[SV] = []
-        for ln, op in cigar:
-            if op in ("=", "M"):
-                rpos += ln
-                cpos += ln
-            elif op == "I":
-                if ln >= cfg.min_sv_length:
-                    sv = SV("INS", chrom, rpos,
-                            chrom_seq[rpos - 1:rpos],
-                            chrom_seq[rpos - 1:rpos]
-                            + consensus[cpos:cpos + ln],
-                            cl.size(), cl.cov, nv, score, False, ln,
-                            cigar_str)
-                    sv.add_reads(cl.get_names())
-                    _svs.append(sv)
-                    nv += 1
-                cpos += ln
-            elif op == "D":
-                if ln >= cfg.min_sv_length:
-                    sv = SV("DEL", chrom, rpos,
-                            chrom_seq[rpos - 1:rpos + ln],
-                            chrom_seq[rpos - 1:rpos],
-                            cl.size(), cl.cov, nv, score, False, ln,
-                            cigar_str)
-                    sv.add_reads(cl.get_names())
-                    _svs.append(sv)
-                    nv += 1
-                rpos += ln
-        for sv in _svs:
-            sv.ngaps = nv
-            sv.set_gt("0/1", 100)
-            sv.set_cov(cl.cov, cl.cov0, cl.cov1, cl.cov2)
-            sv.set_rvec(cluster.reads)
-        svs.extend(_svs)
+        _emit_cluster_svs(cluster, cl, consensus, score, cigar, chroms,
+                          cfg, svs, consensuses)
     return svs, consensuses
+
 
 
 def pcall(clusters: List[Cluster], chroms: Dict[str, str], cfg: Config
           ) -> Tuple[List[SV], List[Consensus]]:
+    """Call SVs over all weighted clusters.
+
+    Host path: cluster-by-cluster (call_cluster). Device path
+    (cfg.use_device): split + POA consensus on host, then all
+    consensus-vs-reference alignments batched onto the TPU wavefront DP
+    (ops/align_jax.py), bucketed by padded size."""
     svs: List[SV] = []
     cons: List[Consensus] = []
-    for cluster in clusters:
-        if cluster.size() < cfg.min_cluster_weight:
-            continue
-        s, c = call_cluster(cluster, chroms, cfg)
-        svs.extend(s)
-        cons.extend(c)
+    live = [c for c in clusters if c.size() >= cfg.min_cluster_weight]
+    if not cfg.use_device:
+        for cluster in live:
+            s, c = call_cluster(cluster, chroms, cfg)
+            svs.extend(s)
+            cons.extend(c)
+        return svs, cons
+
+    from ..ops.align_jax import batch_align
+    from ..utils.seq import encode_nt6
+    tasks = []  # (cluster, subcluster, consensus, ref)
+    for cluster in live:
+        chrom_seq = chroms[cluster.chrom]
+        for cl in split_cluster(cluster, cfg):
+            ref = chrom_seq[cl.s:cl.e + 1]
+            consensus = poa_consensus(cl.get_seqs())
+            if consensus:
+                tasks.append((cluster, cl, consensus, ref))
+
+    def bucket(n: int) -> int:
+        b = 256
+        while b < n:
+            b *= 2
+        return b
+
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i, (_, _, consensus, ref) in enumerate(tasks):
+        groups.setdefault((bucket(len(consensus)), bucket(len(ref))),
+                          []).append(i)
+    results: Dict[int, Tuple[int, list]] = {}
+    for (bq, bt), idxs in groups.items():
+        pairs = [(encode_nt6(tasks[i][2]).astype(np.int32),
+                  encode_nt6(tasks[i][3]).astype(np.int32)) for i in idxs]
+        for i, res in zip(idxs, batch_align(pairs, _CALL_PARAMS,
+                                            pad_q=bq, pad_t=bt)):
+            results[i] = res
+    for i, (cluster, cl, consensus, _ref) in enumerate(tasks):
+        score, cigar = results[i]
+        _emit_cluster_svs(cluster, cl, consensus, score, cigar, chroms,
+                          cfg, svs, cons)
     return svs, cons
 
 

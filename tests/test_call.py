@@ -146,3 +146,12 @@ def test_call_genotype_fields(sv_pipeline):
         assert sv.w >= cfg.min_cluster_weight
         assert sv.cov >= sv.w
         assert "READS=" in sv.vcf_line()
+
+
+def test_call_device_matches_host(sv_pipeline):
+    chroms, hap1, smoothed, sfs_map, _ = sv_pipeline
+    cfg_h = Config(use_device=False)
+    cfg_d = Config(use_device=True)
+    svs_h, _, _ = run_call(cfg_h, chroms, smoothed, sfs_map)
+    svs_d, _, _ = run_call(cfg_d, chroms, smoothed, sfs_map)
+    assert [s.vcf_line() for s in svs_h] == [s.vcf_line() for s in svs_d]
