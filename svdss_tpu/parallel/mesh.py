@@ -42,8 +42,7 @@ def shard_search_inputs(mesh: Mesh, index: DeviceFMDIndex,
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
     index = DeviceFMDIndex(
-        bwt_words=jax.device_put(index.bwt_words, repl),
-        occ=jax.device_put(index.occ, repl),
+        fused=jax.device_put(index.fused, repl),
         C=jax.device_put(index.C, repl),
     )
     seqs = jax.device_put(seqs, shard)

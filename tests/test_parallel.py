@@ -1,0 +1,54 @@
+import jax
+import numpy as np
+import pytest
+
+from svdss_tpu.index.fmd import build_index
+from svdss_tpu.ops.fmd_jax import DeviceFMDIndex
+from svdss_tpu.ops.pingpong_host import ping_pong_search
+from svdss_tpu.ops.pingpong_jax import pack_reads
+from svdss_tpu.parallel.mesh import (make_mesh, merge_shard_results,
+                                     sharded_batch_search)
+from svdss_tpu.utils.seq import encode_nt6
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(55)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = {"g": bases[rng.integers(0, 4, 3000)].tobytes().decode()}
+    index = build_index(genome)
+    g = genome["g"]
+    reads = []
+    for _ in range(16):
+        ln = int(rng.integers(150, 400))
+        p = int(rng.integers(0, len(g) - ln))
+        read = list(g[p:p + ln])
+        for _ in range(3):
+            read[int(rng.integers(0, ln))] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append(encode_nt6("".join(read)))
+    return index, reads
+
+
+def test_eight_device_mesh_matches_host(problem):
+    index, reads = problem
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(8)
+    dev_index = DeviceFMDIndex.from_host(index)
+    seqs, lens = pack_reads(reads)
+    result = sharded_batch_search(mesh, dev_index, seqs, lens, cap=64)
+    merged = merge_shard_results(result, len(reads))
+    for i, enc in enumerate(reads):
+        assert merged[i] == ping_pong_search(index, enc), i
+
+
+def test_mesh_sizes_agree(problem):
+    """Results must be identical at any mesh size (deterministic merge)."""
+    index, reads = problem
+    dev_index = DeviceFMDIndex.from_host(index)
+    seqs, lens = pack_reads(reads)
+    out = {}
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        res = sharded_batch_search(mesh, dev_index, seqs, lens, cap=64)
+        out[n] = merge_shard_results(res, len(reads))
+    assert out[1] == out[2] == out[4] == out[8]
