@@ -32,17 +32,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.fmd import BLOCK, FMDIndex
+from ..index.fmd import FMDIndex
 
 # order position of each symbol in the fmd cumulative assignment:
 # $=0, T=1, G=2, C=3, A=4, N=5 (complement-sorted appended symbols)
 _ORD_NP = np.array([0, 4, 3, 2, 1, 5], dtype=np.int32)
 _CUM_ORDER = (0, 4, 3, 2, 1, 5)
 
-_LOG_BLOCK = int(np.log2(BLOCK))
-assert (1 << _LOG_BLOCK) == BLOCK
+# device block size: symbols per fused row (decoupled from the host
+# checkpoint stride). 128 -> 192-byte rows, 1.5 bytes/symbol: a whole-
+# genome GRCh38 two-strand index (~6.2G symbols) fits one v5e HBM (~9.3GB).
+# 64-symbol rows measured only ~3% faster (gathers are row-count-bound)
+# at twice the memory.
+DEV_BLOCK = 128
+_LOG_BLOCK = int(np.log2(DEV_BLOCK))
+assert (1 << _LOG_BLOCK) == DEV_BLOCK
 OCC_COLS = 16
-BWT_WORDS = BLOCK // 4
+BWT_WORDS = DEV_BLOCK // 4
 ROW_WORDS = OCC_COLS + BWT_WORDS
 
 
@@ -57,17 +63,24 @@ def ord6(c: jax.Array) -> jax.Array:
 
 
 def _fused_from_host(idx: FMDIndex) -> np.ndarray:
-    nblk = idx.nblk
+    nblk = idx.n // DEV_BLOCK + 1
     out = np.zeros((nblk, ROW_WORDS), dtype=np.int64)
-    occ6 = idx.occ[:, :6].astype(np.int64)
+    # occ checkpoints at DEV_BLOCK granularity, rebuilt from the raw BWT
+    onehot = np.zeros((nblk * DEV_BLOCK, 6), dtype=np.int64)
+    valid = np.arange(len(onehot)) < idx.n
+    sym_all = np.zeros(nblk * DEV_BLOCK, dtype=np.int64)
+    sym_all[: idx.n] = idx.bwt
+    for c in range(6):
+        onehot[:, c] = (sym_all == c) & valid
+    csum = onehot.reshape(nblk, DEV_BLOCK, 6).sum(axis=1)
+    occ6 = np.zeros((nblk, 6), dtype=np.int64)
+    occ6[1:] = np.cumsum(csum, axis=0)[:-1]
     out[:, :6] = occ6
     for k in range(6):
         sel = [c for c in range(6) if _ORD_NP[c] < k]
         if sel:
             out[:, 8 + k] = occ6[:, sel].sum(axis=1)
-    sym = np.zeros(nblk * BLOCK, dtype=np.int64)
-    sym[: idx.n] = idx.bwt
-    sym = sym.reshape(nblk, BLOCK // 4, 4)
+    sym = sym_all.reshape(nblk, DEV_BLOCK // 4, 4)
     shifts = np.arange(4, dtype=np.int64) * 8
     out[:, OCC_COLS:] = (sym << shifts[None, None, :]).sum(axis=2)
     assert out.max() < 2**31 and out.min() >= 0
@@ -98,7 +111,7 @@ def _unpack_rows(rows: jax.Array):
     words = rows[:, OCC_COLS:]
     shifts = jnp.arange(4, dtype=jnp.int32) * 8
     sym = (words[:, :, None] >> shifts[None, None, :]) & 0xFF
-    return occ, sym.reshape(rows.shape[0], BLOCK)
+    return occ, sym.reshape(rows.shape[0], DEV_BLOCK)
 
 
 def _select_col(mat: jax.Array, col: jax.Array, width: int) -> jax.Array:
@@ -117,10 +130,10 @@ def rank6(index: DeviceFMDIndex, pos: jax.Array) -> jax.Array:
     and debugging; the hot path is `extend_select`'s fused form.
     """
     blk = pos >> _LOG_BLOCK
-    off = pos & (BLOCK - 1)
+    off = pos & (DEV_BLOCK - 1)
     occ, sym = _unpack_rows(index.fused[blk])
     in_range = jax.lax.broadcasted_iota(
-        jnp.int32, (1, BLOCK), 1) < off[:, None]
+        jnp.int32, (1, DEV_BLOCK), 1) < off[:, None]
     eq = sym[:, :, None] == jnp.arange(6, dtype=jnp.int32)[None, None, :]
     cnt = jnp.sum(eq & in_range[:, :, None], axis=1, dtype=jnp.int32)
     return occ[:, :6] + cnt
@@ -163,10 +176,10 @@ def extend_select(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel, do):
     q = lo.shape[0]
     pos = jnp.concatenate([lo, hi])                   # [2Q]
     blk = pos >> _LOG_BLOCK
-    off = pos & (BLOCK - 1)
+    off = pos & (DEV_BLOCK - 1)
     occ, sym = _unpack_rows(index.fused[blk])         # one gather of 2Q rows
     in_range = jax.lax.broadcasted_iota(
-        jnp.int32, (1, BLOCK), 1) < off[:, None]
+        jnp.int32, (1, DEV_BLOCK), 1) < off[:, None]
 
     c2 = jnp.concatenate([c_sel, c_sel])
     o2 = ord6(c2)
