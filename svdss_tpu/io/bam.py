@@ -17,8 +17,12 @@ from __future__ import annotations
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
+import numpy as np
+
 from .bgzf import BgzfReader, BgzfWriter
 from ..utils.seq import NT16_STR, NT16_TABLE
+
+_NT16_BYTES = np.frombuffer(NT16_STR.encode(), dtype=np.uint8)
 
 # BAM flags (htslib sam.h)
 FPAIRED = 1
@@ -110,6 +114,35 @@ class BamRecord:
         return "".join(f"{ln}{CIGAR_OPS[op]}" for ln, op in self.cigar)
 
 
+def aligned_pairs_arrays(rec: BamRecord) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized aligned pairs: (query_pos, ref_pos) int32 arrays with -1
+    gaps — same expansion as `aligned_pairs` (bam.cpp:92-134) without the
+    per-base Python loop."""
+    qs_parts = []
+    rs_parts = []
+    r = rec.pos
+    q = 0
+    for ln, op in rec.cigar:
+        if op in (BAM_CMATCH, BAM_CEQUAL, BAM_CDIFF):
+            qs_parts.append(np.arange(q, q + ln, dtype=np.int32))
+            rs_parts.append(np.arange(r, r + ln, dtype=np.int32))
+            q += ln
+            r += ln
+        elif op in (BAM_CINS, BAM_CSOFT_CLIP):
+            qs_parts.append(np.arange(q, q + ln, dtype=np.int32))
+            rs_parts.append(np.full(ln, -1, dtype=np.int32))
+            q += ln
+        elif op in (BAM_CDEL, BAM_CREF_SKIP):
+            qs_parts.append(np.full(ln, -1, dtype=np.int32))
+            rs_parts.append(np.arange(r, r + ln, dtype=np.int32))
+            r += ln
+        # H / P: advance neither
+    if not qs_parts:
+        z = np.empty(0, dtype=np.int32)
+        return z, z
+    return np.concatenate(qs_parts), np.concatenate(rs_parts)
+
+
 def aligned_pairs(rec: BamRecord) -> List[Tuple[int, int]]:
     """(query_pos, ref_pos) pairs with -1 for gaps.
 
@@ -117,25 +150,8 @@ def aligned_pairs(rec: BamRecord) -> List[Tuple[int, int]]:
     M/=/X emit (q, r); I and S emit (q, -1); D and N emit (-1, r); H and P
     advance neither.
     """
-    out: List[Tuple[int, int]] = []
-    r = rec.pos
-    q = 0
-    for ln, op in rec.cigar:
-        if op in (BAM_CMATCH, BAM_CEQUAL, BAM_CDIFF):
-            for i in range(ln):
-                out.append((q, r + i))
-                q += 1
-            r += ln
-        elif op in (BAM_CINS, BAM_CSOFT_CLIP):
-            for _ in range(ln):
-                out.append((q, -1))
-                q += 1
-        elif op in (BAM_CDEL, BAM_CREF_SKIP):
-            for i in range(ln):
-                out.append((-1, r + i))
-            r += ln
-        # H / P: advance neither
-    return out
+    aq, ar = aligned_pairs_arrays(rec)
+    return list(zip(aq.tolist(), ar.tolist()))
 
 
 # -- aux tag (de)serialization --------------------------------------------
@@ -206,18 +222,22 @@ def _decode_record(data: bytes) -> BamRecord:
     off = 32
     qname = data[off:off + l_qname - 1].split(b"\x00", 1)[0].decode()
     off += l_qname
-    cigar = []
-    for i in range(n_cigar):
-        c = struct.unpack_from("<I", data, off + 4 * i)[0]
-        cigar.append((c >> 4, c & 0xF))
+    if n_cigar:
+        carr = np.frombuffer(data, dtype="<u4", count=n_cigar, offset=off)
+        cigar = list(zip((carr >> 4).tolist(), (carr & 0xF).tolist()))
+    else:
+        cigar = []
     off += 4 * n_cigar
     nbytes = (l_seq + 1) // 2
-    seq_chars = []
-    for i in range(l_seq):
-        b = data[off + (i >> 1)]
-        nib = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        seq_chars.append(NT16_STR[nib])
-    seq = "".join(seq_chars)
+    if l_seq:
+        packed = np.frombuffer(data, dtype=np.uint8, count=nbytes,
+                               offset=off)
+        nibs = np.empty(nbytes * 2, dtype=np.uint8)
+        nibs[0::2] = packed >> 4
+        nibs[1::2] = packed & 0xF
+        seq = _NT16_BYTES[nibs[:l_seq]].tobytes().decode()
+    else:
+        seq = ""
     off += nbytes
     qual = data[off:off + l_seq]
     off += l_seq
@@ -233,13 +253,13 @@ def _encode_record(rec: BamRecord) -> bytes:
     qname_b = rec.qname.encode() + b"\x00"
     cigar_b = b"".join(struct.pack("<I", (ln << 4) | op)
                        for ln, op in rec.cigar)
-    seq_b = bytearray((l_seq + 1) // 2)
-    for i, ch in enumerate(rec.seq):
-        nib = NT16_TABLE[ord(ch)]
-        if i % 2 == 0:
-            seq_b[i >> 1] = nib << 4
-        else:
-            seq_b[i >> 1] |= nib
+    if l_seq:
+        nibs = NT16_TABLE[np.frombuffer(rec.seq.encode(), dtype=np.uint8)]
+        if l_seq % 2:
+            nibs = np.concatenate([nibs, np.zeros(1, dtype=np.uint8)])
+        seq_b = ((nibs[0::2] << 4) | nibs[1::2]).astype(np.uint8).tobytes()
+    else:
+        seq_b = b""
     qual = rec.qual if len(rec.qual) == l_seq else b"\xff" * l_seq
     aux_b = _encode_aux(rec.aux)
     body = struct.pack("<iiBBHHHiiii", rec.tid, rec.pos, len(qname_b),

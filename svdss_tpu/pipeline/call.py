@@ -38,7 +38,8 @@ from typing import Dict, Iterable, List, Optional, Tuple
 import numpy as np
 
 from ..config import Config
-from ..io.bam import (BamReader, BamRecord, BAM_CSOFT_CLIP, aligned_pairs)
+from ..io.bam import (BamReader, BamRecord, BAM_CSOFT_CLIP,
+                      aligned_pairs_arrays)
 from ..models import SFS, SV, Clip, Cluster, Consensus
 from ..ops.align import align_dual_gap, AlignParams
 from ..ops.poa import poa_consensus
@@ -104,8 +105,18 @@ def get_unique_kmers(alpairs: List[Tuple[int, int]], k: int, from_end: bool,
 def extend_alignment(rec: BamRecord, sfs_list: List[SFS], chrom: str,
                      chrom_seq: str, cfg: Config, stats: CallStats,
                      clips: List[Clip]) -> List[SFS]:
-    """Place one read's SFSs on the reference (clusterer.cpp:159-346)."""
-    alpairs = aligned_pairs(rec)
+    """Place one read's SFSs on the reference (clusterer.cpp:159-346).
+
+    The reference's per-base scan over aligned pairs is replaced by
+    searchsorted over the (monotone) placed-pair query positions; the
+    stateful ``last_pos`` cursor is preserved exactly (it makes SFSs
+    arriving out of query order — possible with --noassemble — fall into
+    the unplaced paths just as in the C code, clusterer.cpp:184-201)."""
+    aq, ar = aligned_pairs_arrays(rec)
+    valid = (aq != -1) & (ar != -1)
+    vidx = np.flatnonzero(valid).astype(np.int64)
+    vq = aq[vidx]
+    vr = ar[vidx]
     lclip = (0, 0)
     rclip = (0, 0)
     last_pos = 0
@@ -117,20 +128,16 @@ def extend_alignment(rec: BamRecord, sfs_list: List[SFS], chrom: str,
         aln_end = -1
         refs = -1
         refe = -1
-        for i in range(last_pos, len(alpairs)):
-            q, r = alpairs[i]
-            if q == -1 or r == -1:
-                continue
-            elif q < s:
-                # last placed base before the SFS (deliberately <, not <=,
-                # for flexibility: clusterer.cpp:189-191)
-                last_pos = i
-                refs = r
-                aln_start = i
-            elif q > e:
-                refe = r
-                aln_end = i
-                break
+        pv = int(np.searchsorted(vidx, last_pos, "left"))
+        ls = int(np.searchsorted(vq, s, "left")) - 1
+        if ls >= pv:
+            refs = int(vr[ls])
+            aln_start = int(vidx[ls])
+            last_pos = aln_start
+        fe = max(int(np.searchsorted(vq, e, "right")), pv)
+        if fe < len(vq):
+            refe = int(vr[fe])
+            aln_end = int(vidx[fe])
         if refs == -1 and refe == -1:
             stats.unplaced += 1
             continue
@@ -150,8 +157,9 @@ def extend_alignment(rec: BamRecord, sfs_list: List[SFS], chrom: str,
             continue
         local_alpairs: List[Tuple[int, int]] = []
         last_r = refs - 1
-        for i in range(aln_start, aln_end + 1):
-            q, r = alpairs[i]
+        sq = aq[aln_start:aln_end + 1].tolist()
+        sr = ar[aln_start:aln_end + 1].tolist()
+        for q, r in zip(sq, sr):
             if r == -1:
                 if refs <= last_r <= refe:
                     local_alpairs.append((q, r))
@@ -161,22 +169,13 @@ def extend_alignment(rec: BamRecord, sfs_list: List[SFS], chrom: str,
                     local_alpairs.append((q, r))
             if q != -1 and r != -1 and r >= refe:
                 break
-        # flanking pairs
-        pre_alpairs = []
-        n = 0
-        for i in range(aln_start - 1, -1, -1):
-            pre_alpairs.append(alpairs[i])
-            n += 1
-            if n == cfg.flank:
-                break
-        pre_alpairs.reverse()
-        post_alpairs = []
-        n = 0
-        for i in range(aln_end + 1, len(alpairs)):
-            post_alpairs.append(alpairs[i])
-            n += 1
-            if n == cfg.flank:
-                break
+        # flanking pairs (up to cfg.flank each side)
+        p0 = max(aln_start - cfg.flank, 0)
+        pre_alpairs = list(zip(aq[p0:aln_start].tolist(),
+                               ar[p0:aln_start].tolist()))
+        p1 = min(aln_end + 1 + cfg.flank, len(aq))
+        post_alpairs = list(zip(aq[aln_end + 1:p1].tolist(),
+                                ar[aln_end + 1:p1].tolist()))
         prekmer = get_unique_kmers(pre_alpairs, cfg.ksize, True, chrom_seq)
         postkmer = get_unique_kmers(post_alpairs, cfg.ksize, False, chrom_seq)
         if prekmer[0] == -1 or prekmer[1] == -1:
@@ -355,23 +354,21 @@ def fill_clusters(bam_path: str, clusters: List[Cluster],
                     continue
                 locus_reads[-1] = (1, locus_reads[-1][1])
                 if alp is None:
-                    alp = aligned_pairs(rec)
+                    aq2, ar2 = aligned_pairs_arrays(rec)
+                    v2 = (aq2 != -1) & (ar2 != -1)
+                    alp = (aq2[v2], ar2[v2])
+                vq2, vr2 = alp
+                # last placed pair with r <= cluster start / first with
+                # r >= cluster end (clusterer.cpp:562-585, via searchsorted
+                # over the monotone placed ref positions)
                 qs = -1
                 qe = -1
-                for i in range(len(alp) - 1, -1, -1):
-                    q, r = alp[i]
-                    if q == -1 or r == -1:
-                        continue
-                    if r <= cl.s:
-                        qs = q
-                        break
-                for i in range(len(alp)):
-                    q, r = alp[i]
-                    if q == -1 or r == -1:
-                        continue
-                    if r >= cl.e:
-                        qe = q
-                        break
+                i0 = int(np.searchsorted(vr2, cl.s, "right")) - 1
+                if i0 >= 0:
+                    qs = int(vq2[i0])
+                i1 = int(np.searchsorted(vr2, cl.e, "left"))
+                if i1 < len(vq2):
+                    qe = int(vq2[i1])
                 if qs == -1 or qe == -1:
                     stats.unextended += 1
                 else:

@@ -41,18 +41,36 @@ from ..utils.seq import percentile
 _MATCH_OPS = (BAM_CMATCH, BAM_CEQUAL, BAM_CDIFF)
 
 
-def _mismatch_stats(rec: BamRecord, ref: str) -> Tuple[int, int]:
+class _RefCache:
+    """Chromosome sequences as uint8 arrays (vectorized compares)."""
+
+    def __init__(self, chroms: Dict[str, str]):
+        self._chroms = chroms
+        self._arrays: Dict[str, np.ndarray] = {}
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._chroms
+
+    def get(self, name: str) -> np.ndarray:
+        arr = self._arrays.get(name)
+        if arr is None:
+            arr = np.frombuffer(self._chroms[name].encode(), dtype=np.uint8)
+            self._arrays[name] = arr
+        return arr
+
+
+def _mismatch_stats(rec: BamRecord, ref: np.ndarray) -> Tuple[int, int]:
     """(num_match, num_mismatch) over M/=/X ops; stops at unknown ops
     (compute_maxaccuracy walk, smoother.cpp:314-336)."""
     nmatch = 0
     nmis = 0
     ref_off = rec.pos
     q_off = 0
+    seq = np.frombuffer(rec.seq.encode(), dtype=np.uint8)
     for ln, op in rec.cigar:
         if op in _MATCH_OPS:
-            r = ref[ref_off:ref_off + ln]
-            q = rec.seq[q_off:q_off + ln]
-            eq = sum(1 for a, b in zip(r, q) if a == b)
+            eq = int(np.count_nonzero(ref[ref_off:ref_off + ln]
+                                      == seq[q_off:q_off + ln]))
             nmatch += eq
             nmis += ln - eq
             ref_off += ln
@@ -73,6 +91,7 @@ def compute_max_accuracy(bam_path: str, chroms: Dict[str, str],
     """accp percentile of per-read mismatch/match ratios over the first
     `accuracy_sample` eligible alignments (smoother.cpp:259-346)."""
     ratios: List[float] = []
+    cache = _RefCache(chroms)
     with BamReader(bam_path) as reader:
         names = reader.header.names
         for rec in reader:
@@ -85,7 +104,7 @@ def compute_max_accuracy(bam_path: str, chroms: Dict[str, str],
             chrom = names[rec.tid]
             if chrom not in chroms:
                 continue
-            nmatch, nmis = _mismatch_stats(rec, chroms[chrom])
+            nmatch, nmis = _mismatch_stats(rec, cache.get(chrom))
             ratios.append(nmis / nmatch if nmatch else float("inf"))
     if not ratios:
         return float("inf")
@@ -93,10 +112,17 @@ def compute_max_accuracy(bam_path: str, chroms: Dict[str, str],
     return percentile(ratios, config.accp)
 
 
-def smooth_read(rec: BamRecord, ref: str, config: Config,
+def smooth_read(rec: BamRecord, ref, config: Config,
                 threshold: float) -> None:
-    """Rewrite rec in place; sets the XF tag (smooth_read, smoother.cpp:84)."""
-    new_seq: List[str] = []
+    """Rewrite rec in place; sets the XF tag (smooth_read, smoother.cpp:84).
+
+    ref may be a str or a uint8 array (the run loop passes arrays)."""
+    if isinstance(ref, str):
+        ref_arr = np.frombuffer(ref.encode(), dtype=np.uint8)
+    else:
+        ref_arr = ref
+    seq_arr = np.frombuffer(rec.seq.encode(), dtype=np.uint8)
+    new_seq: List[np.ndarray] = []
     new_qual = bytearray()
     new_cigar: List[Tuple[int, int]] = []
     should_ignore = True
@@ -106,15 +132,13 @@ def smooth_read(rec: BamRecord, ref: str, config: Config,
     nmatch = 0
     nmis = 0
     qual = rec.qual
-    seq = rec.seq
     min_indel = config.min_indel_length
     for ln, op in rec.cigar:
         if op in _MATCH_OPS:
-            r = ref[ref_off:ref_off + ln]
-            q = seq[q_off:q_off + ln]
-            new_seq.append(r)
+            new_seq.append(ref_arr[ref_off:ref_off + ln])
             new_qual += qual[q_off:q_off + ln]
-            eq = sum(1 for a, b in zip(r, q) if a == b)
+            eq = int(np.count_nonzero(ref_arr[ref_off:ref_off + ln]
+                                      == seq_arr[q_off:q_off + ln]))
             nmatch += eq
             nmis += ln - eq
             ref_off += ln
@@ -127,13 +151,13 @@ def smooth_read(rec: BamRecord, ref: str, config: Config,
         elif op == BAM_CINS:
             if ln > min_indel:
                 should_ignore = False
-                new_seq.append(seq[q_off:q_off + ln])
+                new_seq.append(seq_arr[q_off:q_off + ln])
                 new_qual += qual[q_off:q_off + ln]
                 new_cigar.append((ln, BAM_CINS))
             q_off += ln
         elif op == BAM_CDEL:
             if ln <= min_indel:
-                new_seq.append(ref[ref_off:ref_off + ln])
+                new_seq.append(ref_arr[ref_off:ref_off + ln])
                 new_qual += qual[q_off:q_off + ln]
                 m_diff += ln
             else:
@@ -142,7 +166,7 @@ def smooth_read(rec: BamRecord, ref: str, config: Config,
             ref_off += ln
         elif op == BAM_CSOFT_CLIP:
             should_ignore = False
-            new_seq.append(seq[q_off:q_off + ln])
+            new_seq.append(seq_arr[q_off:q_off + ln])
             new_qual += qual[q_off:q_off + ln]
             new_cigar.append((ln, BAM_CSOFT_CLIP))
             q_off += ln
@@ -154,7 +178,8 @@ def smooth_read(rec: BamRecord, ref: str, config: Config,
     elif should_ignore:
         rec.set_tag("XF", "i", 2)     # nothing SV-like on this read
     else:
-        rec.seq = "".join(new_seq)
+        rec.seq = (np.concatenate(new_seq).tobytes().decode()
+                   if new_seq else "")
         rec.qual = bytes(new_qual)
         rec.cigar = new_cigar
         rec.set_tag("XF", "i", 0)
@@ -168,6 +193,7 @@ def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
     stats = {0: 0, 1: 0, 2: 0, "dropped": 0}
     t0 = time.time()
     nproc = 0
+    cache = _RefCache(chroms)
     with BamReader(bam_path) as reader:
         names = reader.header.names
         with BamWriter(out_path, reader.header) as writer:
@@ -178,7 +204,8 @@ def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
                         or names[rec.tid] not in chroms):
                     stats["dropped"] += 1
                     continue
-                smooth_read(rec, chroms[names[rec.tid]], config, threshold)
+                smooth_read(rec, cache.get(names[rec.tid]), config,
+                            threshold)
                 stats[rec.get_tag("XF")] += 1
                 writer.write(rec)
     dt = time.time() - t0
