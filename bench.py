@@ -80,6 +80,8 @@ def main() -> int:
                     help="force CPU (debug; default uses the TPU)")
     args = ap.parse_args()
 
+    from svdss_tpu.utils.device import init_device_runtime
+    init_device_runtime()
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

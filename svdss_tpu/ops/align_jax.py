@@ -211,6 +211,8 @@ def batch_align(pairs: List[Tuple[np.ndarray, np.ndarray]],
     for b, k in enumerate(work):
         q[b, :len(pairs[k][0])] = pairs[k][0]
         t[b, :len(pairs[k][1])] = pairs[k][1]
+    from ..utils.device import init_device_runtime
+    init_device_runtime()
     tgt_d = np.array([len(pairs[k][0]) + len(pairs[k][1]) for k in work],
                      dtype=np.int32)
     tgt_i = np.array([len(pairs[k][0]) for k in work], dtype=np.int32)

@@ -100,6 +100,8 @@ class _DeviceSearcher:
 
     def __init__(self, index: FMDIndex, config: Config):
         from ..ops.fmd_jax import DeviceFMDIndex
+        from ..utils.device import init_device_runtime
+        init_device_runtime()
         self.index = index
         self.dev = DeviceFMDIndex.from_host(index)
         self.config = config
