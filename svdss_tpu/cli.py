@@ -100,7 +100,8 @@ def cmd_call(args) -> int:
     sfs_map = parse_sfs_file(args.sfs)
     out = open(args.out, "w") if args.out else sys.stdout
     try:
-        svs, cons, clips = run_call(cfg, chroms, args.bam, sfs_map, out=out)
+        svs, cons, clips = run_call(cfg, chroms, args.bam, sfs_map, out=out,
+                                    clusters_out=args.clusters)
         if args.poa:
             with open(args.poa, "w") as ph:
                 ph.write("@HD\tVN:1.4\n")
@@ -213,6 +214,8 @@ def main(argv=None) -> int:
     p.add_argument("--sfs", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--poa", default=None)
+    p.add_argument("--clusters", default=None,
+                   help="store clusters to this file")
     p.add_argument("--min-cluster-weight", dest="min_cluster_weight",
                    type=int, default=2)
     p.add_argument("--min-sv-length", dest="min_sv_length", type=int,

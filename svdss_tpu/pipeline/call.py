@@ -710,8 +710,21 @@ def filter_sv_chains(svs: List[SV], cfg: Config) -> List[SV]:
 
 # ---------------------------------------------------------------- driver
 
+def store_clusters(path: str, clusters: List[Cluster]) -> None:
+    """Dump clusters to a file (``--clusters``; store_clusters,
+    clusterer.cpp:613-626: 1-based inclusive region, size, name:seq...)."""
+    with open(path, "w") as fh:
+        for cluster in clusters:
+            fh.write(f"{cluster.chrom}:{cluster.s + 1}-{cluster.e + 1}"
+                     f"\t{cluster.size()}")
+            for sr in cluster.subreads:
+                fh.write(f"\t{sr.name}:{sr.seq}")
+            fh.write("\n")
+
+
 def run_call(cfg: Config, chroms: Dict[str, str], bam_path: str,
-             sfs_map: Dict[str, List[SFS]], out=None
+             sfs_map: Dict[str, List[SFS]], out=None,
+             clusters_out: Optional[str] = None
              ) -> Tuple[List[SV], List[Consensus], List[Clip]]:
     """Full call stage; returns (svs, poa_alignments, clips)."""
     t0 = time.time()
@@ -726,6 +739,9 @@ def run_call(cfg: Config, chroms: Dict[str, str], bam_path: str,
     logger.info("call: filtered %d SFSs, %d + %d small clusters",
                 stats.unextended, stats.small_clusters,
                 stats.small_clusters_2)
+    if clusters_out:
+        logger.info("call: storing clusters to %s", clusters_out)
+        store_clusters(clusters_out, clusters)
     svs, cons = pcall(clusters, chroms, cfg)
     svs.sort(key=lambda s: s.sort_key())
     svs = clean_dups(svs)
