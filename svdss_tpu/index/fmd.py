@@ -52,6 +52,27 @@ class BiInterval:
     size: int
 
 
+def _occ_checkpoints(bwt: np.ndarray, nblk: int, block: int,
+                     chunk_blocks: int = 1 << 17) -> np.ndarray:
+    """Per-block symbol-count checkpoints, O(chunk) extra memory."""
+    n = len(bwt)
+    per_block = np.zeros((nblk, 8), dtype=np.int64)
+    padded = np.zeros(nblk * block, dtype=np.uint8)
+    padded[:n] = bwt
+    for start in range(0, nblk, chunk_blocks):
+        stop = min(start + chunk_blocks, nblk)
+        seg = padded[start * block:stop * block].reshape(-1, block)
+        for c in range(6):
+            per_block[start:stop, c] = (seg == c).sum(axis=1)
+    if n < nblk * block:
+        # padding zeros were counted as symbol 0 in the final block
+        per_block[-1, 0] -= nblk * block - n
+    occ = np.zeros((nblk, 8), dtype=np.int64)
+    occ[1:] = np.cumsum(per_block, axis=0)[:-1]
+    assert occ.max() < 2**31
+    return occ.astype(np.int32)
+
+
 def _pack_nibbles(bwt: np.ndarray, nblk: int) -> np.ndarray:
     padded = np.zeros(nblk * BLOCK, dtype=np.uint32)
     padded[: len(bwt)] = bwt
@@ -72,13 +93,9 @@ class FMDIndex:
         self.C[7] = self.C[6]
         nblk = self.n // BLOCK + 1
         self.nblk = nblk
-        # occ[b, c] = count of symbol c in BWT[0 : 128*b]
-        onehot = np.zeros((nblk * BLOCK, 8), dtype=np.int32)
-        onehot[np.arange(self.n), bwt] = 1
-        csum = np.cumsum(onehot.reshape(nblk, BLOCK, 8), axis=1)
-        occ = np.zeros((nblk, 8), dtype=np.int64)
-        occ[1:] = np.cumsum(csum[:, -1, :], axis=0)[:-1]
-        self.occ = occ.astype(np.int32)
+        # occ[b, c] = count of symbol c in BWT[0 : 128*b], computed in
+        # bounded-memory chunks (a full one-hot would be ~32 bytes/symbol)
+        self.occ = _occ_checkpoints(bwt, nblk, BLOCK)
         self.bwt_words = _pack_nibbles(bwt, nblk)
 
     # -- construction ------------------------------------------------------

@@ -63,28 +63,34 @@ def ord6(c: jax.Array) -> jax.Array:
 
 
 def _fused_from_host(idx: FMDIndex) -> np.ndarray:
+    """Build the fused device table in bounded-memory chunks."""
     nblk = idx.n // DEV_BLOCK + 1
-    out = np.zeros((nblk, ROW_WORDS), dtype=np.int64)
-    # occ checkpoints at DEV_BLOCK granularity, rebuilt from the raw BWT
-    onehot = np.zeros((nblk * DEV_BLOCK, 6), dtype=np.int64)
-    valid = np.arange(len(onehot)) < idx.n
-    sym_all = np.zeros(nblk * DEV_BLOCK, dtype=np.int64)
+    out = np.zeros((nblk, ROW_WORDS), dtype=np.int32)
+    sym_all = np.zeros(nblk * DEV_BLOCK, dtype=np.uint8)
     sym_all[: idx.n] = idx.bwt
-    for c in range(6):
-        onehot[:, c] = (sym_all == c) & valid
-    csum = onehot.reshape(nblk, DEV_BLOCK, 6).sum(axis=1)
+    per_block = np.zeros((nblk, 6), dtype=np.int64)
+    shifts = np.arange(4, dtype=np.int64) * 8
+    chunk = 1 << 17
+    for start in range(0, nblk, chunk):
+        stop = min(start + chunk, nblk)
+        seg = sym_all[start * DEV_BLOCK:stop * DEV_BLOCK].reshape(
+            -1, DEV_BLOCK)
+        for c in range(6):
+            per_block[start:stop, c] = (seg == c).sum(axis=1)
+        words = (seg.reshape(stop - start, DEV_BLOCK // 4, 4).astype(np.int64)
+                 << shifts[None, None, :]).sum(axis=2)
+        out[start:stop, OCC_COLS:] = words.astype(np.int64).astype(np.int32)
+    # padding zeros in the final block were counted as symbol 0
+    per_block[-1, 0] -= nblk * DEV_BLOCK - idx.n
     occ6 = np.zeros((nblk, 6), dtype=np.int64)
-    occ6[1:] = np.cumsum(csum, axis=0)[:-1]
+    occ6[1:] = np.cumsum(per_block, axis=0)[:-1]
+    assert occ6.max() < 2**31
     out[:, :6] = occ6
     for k in range(6):
         sel = [c for c in range(6) if _ORD_NP[c] < k]
         if sel:
             out[:, 8 + k] = occ6[:, sel].sum(axis=1)
-    sym = sym_all.reshape(nblk, DEV_BLOCK // 4, 4)
-    shifts = np.arange(4, dtype=np.int64) * 8
-    out[:, OCC_COLS:] = (sym << shifts[None, None, :]).sum(axis=2)
-    assert out.max() < 2**31 and out.min() >= 0
-    return out.astype(np.int32)
+    return out
 
 
 class DeviceFMDIndex(NamedTuple):
