@@ -42,6 +42,35 @@ MIN_READ_LEN = 100   # ping_pong.cpp:70
 _MIN_BUCKET = 512
 
 
+def _prefetch(iterable, maxsize: int = 8192):
+    """Run the read iterator in a background thread (the role of the
+    reference's load-lane in its double-buffered OpenMP pipeline,
+    ping_pong.cpp:325-380): BAM decode overlaps device batches."""
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+    sentinel = object()
+    error = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as exc:  # propagate to consumer
+            error.append(exc)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
+
+
 def _bucket_len(n: int) -> int:
     b = _MIN_BUCKET
     while b < n:
@@ -192,7 +221,7 @@ def run_search(config: Config, index: FMDIndex,
             flushed[bucket] = base + len(batch)
 
         counters: Dict[int, int] = {}
-        for qname, seq, hp in reads:
+        for qname, seq, hp in _prefetch(reads):
             enc = encode_nt6(seq)
             b = _bucket_len(len(enc))
             idx = counters.get(b, 0)
