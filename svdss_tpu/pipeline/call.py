@@ -600,16 +600,24 @@ def pcall(clusters: List[Cluster], chroms: Dict[str, str], cfg: Config
             cons.extend(c)
         return svs, cons
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..ops.align_jax import batch_align
     from ..utils.seq import encode_nt6
-    tasks = []  # (cluster, subcluster, consensus, ref)
+    # phase 1: split + POA consensus per subcluster (host, thread pool —
+    # the reference's omp-over-clusters, caller.cpp:312)
+    subtasks = []
     for cluster in live:
         chrom_seq = chroms[cluster.chrom]
         for cl in split_cluster(cluster, cfg):
             ref = chrom_seq[cl.s:cl.e + 1]
-            consensus = poa_consensus(cl.get_seqs())
-            if consensus:
-                tasks.append((cluster, cl, consensus, ref))
+            subtasks.append((cluster, cl, ref))
+    with ThreadPoolExecutor(max_workers=max(cfg.threads, 1)) as pool:
+        consensuses = list(pool.map(
+            lambda t: poa_consensus(t[1].get_seqs()), subtasks))
+    tasks = [(cluster, cl, consensus, ref)
+             for (cluster, cl, ref), consensus in zip(subtasks, consensuses)
+             if consensus]
 
     def bucket(n: int) -> int:
         b = 256
