@@ -637,12 +637,18 @@ def pcall(clusters: List[Cluster], chroms: Dict[str, str], cfg: Config
         groups.setdefault((bucket(len(consensus)), bucket(len(ref))),
                           []).append(i)
     results: Dict[int, Tuple[int, list]] = {}
+    # chunk each bucket: the trace buffer is O(B * (bq+bt) * bq) bytes,
+    # cap at ~256MB per launch
     for (bq, bt), idxs in groups.items():
-        pairs = [(encode_nt6(tasks[i][2]).astype(np.int32),
-                  encode_nt6(tasks[i][3]).astype(np.int32)) for i in idxs]
-        for i, res in zip(idxs, batch_align(pairs, _CALL_PARAMS,
-                                            pad_q=bq, pad_t=bt)):
-            results[i] = res
+        chunk = max(8, min(128, (256 << 20) // ((bq + bt) * (bq + 1))))
+        for c0 in range(0, len(idxs), chunk):
+            part = idxs[c0:c0 + chunk]
+            pairs = [(encode_nt6(tasks[i][2]).astype(np.int32),
+                      encode_nt6(tasks[i][3]).astype(np.int32))
+                     for i in part]
+            for i, res in zip(part, batch_align(pairs, _CALL_PARAMS,
+                                                pad_q=bq, pad_t=bt)):
+                results[i] = res
     for i, (cluster, cl, consensus, _ref) in enumerate(tasks):
         score, cigar = results[i]
         _emit_cluster_svs(cluster, cl, consensus, score, cigar, chroms,
