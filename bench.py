@@ -76,6 +76,9 @@ def main() -> int:
     ap.add_argument("--reads", type=int, default=4096)
     ap.add_argument("--read-len", type=int, default=10_000)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--jump-k", dest="jump_k", type=int, default=0,
+                    help="k-mer jump table size (0 disables; measured "
+                         "net-negative on SFS-dense reads)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (debug; default uses the TPU)")
     args = ap.parse_args()
@@ -89,8 +92,9 @@ def main() -> int:
     print(f"[bench] device: {dev.platform} ({dev.device_kind})",
           file=sys.stderr)
 
-    from svdss_tpu.ops.fmd_jax import DeviceFMDIndex
+    from svdss_tpu.ops.fmd_jax import DeviceFMDIndex, build_jump_table
     from svdss_tpu.ops.pingpong_jax import batch_search
+    from svdss_tpu.utils.seq import kmer_keys
 
     index, reads, lens = build_problem(args.genome_bp, args.reads,
                                        args.read_len)
@@ -98,9 +102,18 @@ def main() -> int:
     import jax.numpy as jnp
     seqs_j = jnp.asarray(reads)
     lens_j = jnp.asarray(lens)
+    jump_kw = {}
+    if args.jump_k:
+        t0 = time.time()
+        jt = build_jump_table(dev_index, args.jump_k)
+        jax.block_until_ready(jt)
+        print(f"[bench] {args.jump_k}-mer jump table: "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        keys = jnp.asarray(kmer_keys(reads, args.jump_k))
+        jump_kw = dict(jump_table=jt, keys=keys, jump_k=args.jump_k)
 
     t0 = time.time()
-    res = batch_search(dev_index, seqs_j, lens_j, cap=512)
+    res = batch_search(dev_index, seqs_j, lens_j, cap=512, **jump_kw)
     jax.block_until_ready(res.n_sfs)
     print(f"[bench] warmup (incl. compile): {time.time() - t0:.1f}s, "
           f"iters={int(res.iters)}, "
@@ -111,7 +124,7 @@ def main() -> int:
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        res = batch_search(dev_index, seqs_j, lens_j, cap=512)
+        res = batch_search(dev_index, seqs_j, lens_j, cap=512, **jump_kw)
         jax.block_until_ready(res.n_sfs)
         times.append(time.time() - t0)
     best = min(times)

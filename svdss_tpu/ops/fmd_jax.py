@@ -26,6 +26,7 @@ chromosome groups across devices).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -206,3 +207,62 @@ def extend_select(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel, do):
     x0_n = jnp.where(is_back, xr, xo)
     x1_n = jnp.where(is_back, xo, xr)
     return x0_n, x1_n, sz_n
+
+
+# ---------------------------------------------------------------- jump table
+
+@jax.jit
+def _extend_level(index: "DeviceFMDIndex", x0, x1, sz, c_sel, count):
+    do = (jax.lax.broadcasted_iota(jnp.int32, (x0.shape[0], 1), 0)[:, 0]
+          < count) & (sz > 0)
+    x0n, x1n, szn = extend_select(index, x0, x1, sz, jnp.ones_like(c_sel,
+                                                                   dtype=bool),
+                                  c_sel, do)
+    szn = jnp.where(do, szn, 0)
+    return x0n, x1n, szn
+
+
+def build_jump_table(index: "DeviceFMDIndex", k: int,
+                     chunk: int = 1 << 21):
+    """Bi-intervals of every ACGT k-mer, key = sum (sym-1) * 4^position
+    with the *last* symbol at 4^0 (matching utils.seq.kmer_keys).
+
+    Built on device by batched backward extension, level by level
+    (prepending a symbol raises the key coefficient): ~(4^(k+1))/3
+    extensions total. Returns a stacked int32 [4^k, 4] table of
+    (x0, x1, sz, 0) rows; absent k-mers have sz == 0.
+    """
+    # level 1: single symbols A..T
+    x0 = np.asarray(index.C)[1:5].astype(np.int32)
+    comp = np.array([0, 4, 3, 2, 1, 5])
+    x1 = np.asarray(index.C)[comp[1:5]].astype(np.int32)
+    sz = (np.asarray(index.C)[2:6] - np.asarray(index.C)[1:5]).astype(
+        np.int32)
+    for j in range(1, k):
+        n = 4 ** j
+        chunk_j = chunk  # fixed shape -> one jit compile for all levels
+        nx0 = np.empty(4 * n, dtype=np.int32)
+        nx1 = np.empty(4 * n, dtype=np.int32)
+        nsz = np.empty(4 * n, dtype=np.int32)
+        for c in range(1, 5):
+            # child key = (c-1)*4^j + parent key
+            for s0 in range(0, n, chunk_j):
+                s1 = min(s0 + chunk_j, n)
+                cnt = s1 - s0
+                pad = chunk_j - cnt
+                px0 = np.pad(x0[s0:s1], (0, pad))
+                px1 = np.pad(x1[s0:s1], (0, pad))
+                psz = np.pad(sz[s0:s1], (0, pad))
+                cs = np.full(chunk_j, c, dtype=np.int32)
+                r0, r1, rs = _extend_level(
+                    index, jnp.asarray(px0), jnp.asarray(px1),
+                    jnp.asarray(psz), jnp.asarray(cs),
+                    jnp.int32(cnt))
+                base = (c - 1) * n
+                nx0[base + s0:base + s1] = np.asarray(r0)[:cnt]
+                nx1[base + s0:base + s1] = np.asarray(r1)[:cnt]
+                nsz[base + s0:base + s1] = np.asarray(rs)[:cnt]
+        x0, x1, sz = nx0, nx1, nsz
+    # stacked [4^k, 4] so a jump lookup is one gathered 16-byte row
+    out = np.stack([x0, x1, sz, np.zeros_like(sz)], axis=1)
+    return jnp.asarray(out)

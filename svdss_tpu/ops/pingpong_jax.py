@@ -84,15 +84,26 @@ def _chunk_select(chunk: jax.Array, off: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(onehot, chunk, 0), axis=1, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "max_iters", "overlap"))
+@functools.partial(jax.jit, static_argnames=("cap", "max_iters", "overlap",
+                                             "jump_k"))
 def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
                  cap: int = 128, max_iters: int = 0,
-                 overlap: int = -1) -> PingPongResult:
+                 overlap: int = -1, jump_table: jax.Array | None = None,
+                 keys: jax.Array | None = None,
+                 jump_k: int = 0) -> PingPongResult:
     """Run ping-pong search over a padded read batch.
 
     seqs: [Q, L+1] uint8 nt6 symbols, 0-padded past each read's length
           (the extra column guarantees in-bounds sentinel reads).
     lens: [Q] int32 read lengths (>= 1).
+
+    jump_table/keys/jump_k enable the k-mer jump-start: at every phase
+    transition whose k-mer window is valid (keys[pos] >= 0) and present in
+    the reference (table sz > 0), the lane skips k-1 single-symbol
+    extensions by loading the precomputed bi-interval
+    (ops.fmd_jax.build_jump_table). Backward restarts always land inside
+    the previously-present substring, so their jumps almost always hit.
+    Results are bit-identical with or without jumping.
     """
     Q, Lp1 = seqs.shape
     if max_iters == 0:
@@ -100,6 +111,8 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
     max_outer = (max_iters + K_INNER - 1) // K_INNER
     seqs = seqs.astype(jnp.int32)
     chunks, n_even = _build_chunks(seqs)
+    if jump_k:
+        key_chunks, _ = _build_chunks(keys)
     n_windows = 2 * n_even - 1
     lane = jnp.arange(Q, dtype=jnp.int32)
 
@@ -127,7 +140,7 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
 
     def step(carry):
         (dir_, begin, end, x0, x1, sz, active, nsfs, out_qs, out_l,
-         overflow, chunk, base) = carry
+         overflow, chunk, kchunk, base) = carry
 
         is_bwd = dir_ == 0
         bwd_can = is_bwd & (sz != 0) & (begin > 0)
@@ -184,16 +197,53 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         trans = to_fwd | restart
         x0t, x1t, szt = set_intv(index, c_acc)
 
+        do_jump_b = jnp.zeros_like(restart)
+        do_jump_f = jnp.zeros_like(restart)
+        if jump_k:
+            kpos = jnp.where(restart, begin_new,
+                             begin1 + (jump_k - 1))
+            koff = kpos - base
+            in_chunk = (koff >= 0) & (koff < CHUNK)
+            key = jnp.where(in_chunk, _chunk_select(kchunk, koff), -1)
+            # a jump moves the cursor by k-1 in one step, so the sliding
+            # chunk's +-1-per-step margin no longer covers the remaining
+            # inner-loop drift; only jump when the whole worst-case
+            # post-jump drift stays inside the current chunk
+            safe_b = koff >= (jump_k - 1) + K_INNER + 1
+            safe_f = koff + K_INNER + 1 < CHUNK
+            cand = (((restart & (begin_new >= jump_k - 1) & safe_b)
+                     | (to_fwd & safe_f)) & (key >= 0))
+
+            def lookup(_):
+                return jump_table[jnp.clip(key, 0, None)]
+
+            row = jax.lax.cond(jnp.any(cand), lookup,
+                               lambda _: jnp.zeros((Q, 4), jnp.int32),
+                               None)
+            jx0, jx1, jsz = row[:, 0], row[:, 1], row[:, 2]
+            hit = cand & (jsz > 0)
+            do_jump_b = restart & hit
+            do_jump_f = to_fwd & hit
+            x0t = jnp.where(hit, jx0, x0t)
+            x1t = jnp.where(hit, jx1, x1t)
+            szt = jnp.where(hit, jsz, szt)
+
         dir_ = jnp.where(to_fwd, 1, jnp.where(restart, 0, dir_))
-        end1 = jnp.where(to_fwd, begin1, end1)
-        begin1 = jnp.where(restart, begin_new, begin1)
+        end1 = jnp.where(to_fwd,
+                         jnp.where(do_jump_f, begin1 + (jump_k - 1),
+                                   begin1),
+                         end1)
+        begin1 = jnp.where(restart,
+                           jnp.where(do_jump_b,
+                                     begin_new - (jump_k - 1), begin_new),
+                           begin1)
         x0 = jnp.where(trans, x0t, x0)
         x1 = jnp.where(trans, x1t, x1)
         sz1 = jnp.where(trans, szt, sz1)
         active = active & ~(prefix_match | emit_done)
 
         return (dir_, begin1, end1, x0, x1, sz1, active, nsfs, out_qs,
-                out_l, overflow, chunk, base)
+                out_l, overflow, chunk, kchunk, base)
 
     def body(s):
         # refresh each lane's chunk around its cursor
@@ -203,14 +253,19 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         ci = _chunk_index(m, n_even)
         chunk = jnp.take_along_axis(
             chunks, ci[:, None, None], axis=1)[:, 0]
+        if jump_k:
+            kchunk = jnp.take_along_axis(
+                key_chunks, ci[:, None, None], axis=1)[:, 0]
+        else:
+            kchunk = jnp.zeros((Q, 1), jnp.int32)
         base = m * STRIDE
 
         carry = (s["dir"], s["begin"], s["end"], s["x0"], s["x1"], s["sz"],
                  s["active"], s["nsfs"], s["out_qs"], s["out_l"],
-                 s["overflow"], chunk, base)
+                 s["overflow"], chunk, kchunk, base)
         carry = jax.lax.fori_loop(0, K_INNER, lambda i, c: step(c), carry)
         (dir_, begin, end, x0, x1, sz, active, nsfs, out_qs, out_l,
-         overflow, _, _) = carry
+         overflow, _, _, _) = carry
         return dict(it=s["it"] + K_INNER, dir=dir_, begin=begin, end=end,
                     x0=x0, x1=x1, sz=sz, active=active, nsfs=nsfs,
                     out_qs=out_qs, out_l=out_l, overflow=overflow)

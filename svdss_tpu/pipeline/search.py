@@ -138,6 +138,16 @@ class _DeviceSearcher:
         self.cap = config.max_sfs_per_read
         self.fallbacks = 0
         self.device_reads = 0
+        self.jump_k = 0
+        self.jump_table = None
+        if config.kmer_jump and index.n >= (1 << 22):
+            from ..ops.fmd_jax import build_jump_table
+            import time as _time
+            t0 = _time.time()
+            self.jump_k = config.kmer_jump
+            self.jump_table = build_jump_table(self.dev, self.jump_k)
+            logger.info("search: built %d-mer jump table in %.1fs",
+                        self.jump_k, _time.time() - t0)
 
     def search_batch(self, encoded: List[np.ndarray]
                      ) -> List[List[Tuple[int, int]]]:
@@ -149,8 +159,16 @@ class _DeviceSearcher:
         while len(padded) < self.lanes:
             padded.append(np.ones(1, dtype=np.uint8))
         seqs, lens = pack_reads(padded, pad_to=L)
-        res = batch_search(self.dev, seqs, lens, cap=self.cap,
-                           overlap=self.config.overlap)
+        if self.jump_k:
+            from ..utils.seq import kmer_keys
+            keys = kmer_keys(np.asarray(seqs), self.jump_k)
+            res = batch_search(self.dev, seqs, lens, cap=self.cap,
+                               overlap=self.config.overlap,
+                               jump_table=self.jump_table, keys=keys,
+                               jump_k=self.jump_k)
+        else:
+            res = batch_search(self.dev, seqs, lens, cap=self.cap,
+                               overlap=self.config.overlap)
         n_sfs = np.asarray(res.n_sfs)
         qs = np.asarray(res.qs)
         ln = np.asarray(res.length)

@@ -78,3 +78,24 @@ def percentile(xs, q: float) -> float:
     hi = int(np.ceil(idx))
     h = idx - lo
     return (1.0 - h) * xs[lo] + h * xs[hi]
+
+
+def kmer_keys(seqs: np.ndarray, k: int) -> np.ndarray:
+    """Per-position k-mer keys for nt6-encoded reads.
+
+    keys[q, p] = sum_j (seqs[q, p-j] - 1) * 4**j over j in [0, k) — i.e.
+    the key of the window *ending* at p, last symbol at 4^0 — or -1 when
+    the window crosses the read start or contains a non-ACGT symbol.
+    Matches the key order of ops.fmd_jax.build_jump_table.
+    """
+    s = seqs.astype(np.int64)
+    Q, L = s.shape
+    keys = np.zeros((Q, L), dtype=np.int64)
+    ok = np.ones((Q, L), dtype=bool)
+    for j in range(k):
+        sh = np.zeros_like(s)
+        sh[:, j:] = s[:, :L - j] if j else s
+        keys += (sh - 1) * (4 ** j)
+        ok &= (sh >= 1) & (sh <= 4)
+    ok[:, :k - 1] = False
+    return np.where(ok, keys, -1).astype(np.int32)
