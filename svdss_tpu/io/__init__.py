@@ -10,5 +10,6 @@ from .bam import (  # noqa: F401
     FSUPPLEMENTARY,
     FREVERSE,
     aligned_pairs,
+    aligned_pairs_arrays,
 )
 from .sfs_file import write_sfs_file, parse_sfs_file  # noqa: F401
