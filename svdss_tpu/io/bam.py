@@ -269,8 +269,21 @@ def _encode_record(rec: BamRecord) -> bytes:
 
 
 class BamReader:
-    def __init__(self, path: str):
-        self._gz = BgzfReader(path)
+    """Sequential BAM reader over a path or pre-decompressed bytes."""
+
+    def __init__(self, path: str | bytes):
+        if isinstance(path, (bytes, bytearray)):
+            import io as _io
+            gz = BgzfReader.__new__(BgzfReader)
+            _io.RawIOBase.__init__(gz)
+            gz._fh = None
+            gz._own = False
+            gz._buf = bytes(path)
+            gz._pos = 0
+            gz._eof = True
+            self._gz = gz
+        else:
+            self._gz = BgzfReader(path)
         magic = self._gz.read(4)
         if magic != b"BAM\x01":
             raise IOError(f"{path}: not a BAM file")

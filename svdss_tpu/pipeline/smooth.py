@@ -86,7 +86,7 @@ def _mismatch_stats(rec: BamRecord, ref: np.ndarray) -> Tuple[int, int]:
     return nmatch, nmis
 
 
-def compute_max_accuracy(bam_path: str, chroms: Dict[str, str],
+def compute_max_accuracy(bam_path, chroms: Dict[str, str],
                          config: Config) -> float:
     """accp percentile of per-read mismatch/match ratios over the first
     `accuracy_sample` eligible alignments (smoother.cpp:259-346)."""
@@ -187,16 +187,45 @@ def smooth_read(rec: BamRecord, ref, config: Config,
 
 def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
                out_path: str) -> Dict[str, int]:
-    """Smooth a BAM into out_path; returns XF-tag counts."""
-    threshold = compute_max_accuracy(bam_path, chroms, config)
+    """Smooth a BAM into out_path; returns XF-tag counts.
+
+    The BAM is decompressed once (shared between the accuracy pass and the
+    main pass) and written through a background thread — zlib deflate
+    releases the GIL, so record encode/compress overlaps the CIGAR rewrite
+    (the role of the reference's triple-buffered writer lane,
+    smoother.cpp:412-465)."""
+    import queue
+    import threading
+
+    from ..io.native import bgzf_read_all
+    data = bgzf_read_all(bam_path)
+    src = data if data is not None else bam_path
+
+    threshold = compute_max_accuracy(src, chroms, config)
     logger.info("smooth: max allowed mismatch ratio %.5f", threshold)
     stats = {0: 0, 1: 0, 2: 0, "dropped": 0}
     t0 = time.time()
     nproc = 0
     cache = _RefCache(chroms)
-    with BamReader(bam_path) as reader:
+    with BamReader(src) as reader:
         names = reader.header.names
-        with BamWriter(out_path, reader.header) as writer:
+        writer = BamWriter(out_path, reader.header)
+        wq: "queue.Queue" = queue.Queue(maxsize=4096)
+        werr = []
+
+        def drain():
+            try:
+                while True:
+                    rec = wq.get()
+                    if rec is None:
+                        return
+                    writer.write(rec)
+            except BaseException as exc:
+                werr.append(exc)
+
+        wt = threading.Thread(target=drain)
+        wt.start()
+        try:
             for rec in reader:
                 nproc += 1
                 if (not rec.is_primary or rec.mapq < config.min_mapq
@@ -207,7 +236,13 @@ def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
                 smooth_read(rec, cache.get(names[rec.tid]), config,
                             threshold)
                 stats[rec.get_tag("XF")] += 1
-                writer.write(rec)
+                wq.put(rec)
+        finally:
+            wq.put(None)
+            wt.join()
+            writer.close()
+        if werr:
+            raise werr[0]
     dt = time.time() - t0
     logger.info("smooth: %d alignments in %.2fs (%.1f aln/s); "
                 "XF0=%d XF1=%d XF2=%d dropped=%d", nproc, dt,
