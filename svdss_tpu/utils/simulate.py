@@ -48,15 +48,19 @@ class Haplotype:
     segments: List[Tuple]          # ("M", s, e) | ("I", pos, seq)
     svs: List[TrueSV]
 
+    _seq_cache: str = None
+
     @property
     def seq(self) -> str:
-        parts = []
-        for seg in self.segments:
-            if seg[0] == "M":
-                parts.append(self.ref[seg[1]:seg[2]])
-            else:
-                parts.append(seg[2])
-        return "".join(parts)
+        if self._seq_cache is None:
+            parts = []
+            for seg in self.segments:
+                if seg[0] == "M":
+                    parts.append(self.ref[seg[1]:seg[2]])
+                else:
+                    parts.append(seg[2])
+            self._seq_cache = "".join(parts)
+        return self._seq_cache
 
     def coord_map(self) -> List[Tuple[int, int, int]]:
         """[(donor_start, length, ref_start_or_-1)] per segment."""
