@@ -131,7 +131,7 @@ def _regenotype(svs, out) -> None:
 def cmd_run(args) -> int:
     """End-to-end driver (run_svdss:136-204), artifacts in --workdir."""
     from .io.fasta import load_chromosomes
-    from .io.sfs_file import parse_sfs_file, write_sfs_file
+    from .io.sfs_file import parse_sfs_file
     from .index.fmd import FMDIndex, build_index
     from .pipeline.smooth import run_smooth
     from .pipeline.search import run_search

@@ -26,7 +26,6 @@ chromosome groups across devices).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -33,7 +33,7 @@ different chromosomes within one worker's map; we key by (chrom, low, high).
 from __future__ import annotations
 
 import time
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

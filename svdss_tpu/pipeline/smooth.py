@@ -28,7 +28,7 @@ the sequence, but the CIGAR records I before the M that includes the fill.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
