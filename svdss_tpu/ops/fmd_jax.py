@@ -101,8 +101,20 @@ class DeviceFMDIndex(NamedTuple):
     @classmethod
     def from_host(cls, idx: FMDIndex) -> "DeviceFMDIndex":
         assert idx.n < 2**31, "single-shard index limited to 2^31 symbols"
+        fused = _fused_from_host(idx)
+        # pad the row count to a geometric grid (8 steps per octave,
+        # <=12.5% waste) so kernels compiled for one genome size are
+        # cache hits for similar ones — the jit signature includes this
+        # shape, and a whole-genome search compile is minutes
+        nblk = fused.shape[0]
+        gran = max(1 << 12, 1 << (max(nblk.bit_length() - 4, 0)))
+        padded = ((nblk + gran - 1) // gran) * gran
+        if padded > nblk:
+            fused = np.concatenate(
+                [fused, np.zeros((padded - nblk, fused.shape[1]),
+                                 dtype=fused.dtype)])
         return cls(
-            fused=jnp.asarray(_fused_from_host(idx)),
+            fused=jnp.asarray(fused),
             C=jnp.asarray(idx.C.astype(np.int32)),
         )
 
