@@ -59,8 +59,16 @@ class BamHeader:
 
 
 class BamRecord:
-    __slots__ = ("qname", "flag", "tid", "pos", "mapq", "cigar", "seq",
-                 "qual", "aux", "mtid", "mpos", "tlen", "_bin")
+    """One alignment record.
+
+    seq/qual/aux decode lazily when the record came from a reader (they are
+    by far the heaviest fields; most pipeline passes only touch
+    flag/pos/cigar/qname). `l_seq` is always available without decoding.
+    """
+
+    __slots__ = ("qname", "flag", "tid", "pos", "mapq", "cigar",
+                 "_seq", "_qual", "_aux", "mtid", "mpos", "tlen", "_bin",
+                 "l_seq", "_raw", "_seq_off", "_raw_lseq")
 
     def __init__(self, qname: str, flag: int, tid: int, pos: int, mapq: int,
                  cigar: List[Tuple[int, int]], seq: str, qual: bytes,
@@ -71,14 +79,60 @@ class BamRecord:
         self.tid = tid
         self.pos = pos
         self.mapq = mapq
-        self.cigar = cigar    # [(length, opcode)] — note order matches decode_cigar (bam.cpp:25)
-        self.seq = seq
-        self.qual = qual
-        self.aux = aux or []  # [(tag, typechar, value)]
+        self.cigar = cigar    # [(length, opcode)] — order matches decode_cigar (bam.cpp:25)
+        self._seq = seq
+        self._qual = qual
+        self._aux = aux or []  # [(tag, typechar, value)]
+        self.l_seq = len(seq)
         self.mtid = mtid
         self.mpos = mpos
         self.tlen = tlen
         self._bin = 0
+        self._raw = None
+        self._seq_off = 0
+        self._raw_lseq = 0
+
+    # -- lazy heavy fields -------------------------------------------------
+    @property
+    def seq(self) -> str:
+        if self._seq is None:
+            off = self._seq_off
+            nbytes = (self._raw_lseq + 1) // 2
+            packed = np.frombuffer(self._raw, dtype=np.uint8, count=nbytes,
+                                   offset=off)
+            nibs = np.empty(nbytes * 2, dtype=np.uint8)
+            nibs[0::2] = packed >> 4
+            nibs[1::2] = packed & 0xF
+            self._seq = _NT16_BYTES[nibs[:self._raw_lseq]].tobytes().decode()
+        return self._seq
+
+    @seq.setter
+    def seq(self, v: str) -> None:
+        self._seq = v
+        self.l_seq = len(v)
+
+    @property
+    def qual(self) -> bytes:
+        if self._qual is None:
+            off = self._seq_off + (self._raw_lseq + 1) // 2
+            self._qual = bytes(self._raw[off:off + self._raw_lseq])
+        return self._qual
+
+    @qual.setter
+    def qual(self, v: bytes) -> None:
+        self._qual = v
+
+    @property
+    def aux(self) -> List[Tuple[str, str, object]]:
+        if self._aux is None:
+            off = (self._seq_off + (self._raw_lseq + 1) // 2
+                   + self._raw_lseq)
+            self._aux = _parse_aux(self._raw[off:])
+        return self._aux
+
+    @aux.setter
+    def aux(self, v) -> None:
+        self._aux = v or []
 
     # -- convenience -------------------------------------------------------
     @property
@@ -217,6 +271,7 @@ def _encode_aux(aux: List[Tuple[str, str, object]]) -> bytes:
 # -- record (de)serialization ---------------------------------------------
 
 def _decode_record(data: bytes) -> BamRecord:
+    """Parse the cheap fixed fields eagerly; defer seq/qual/aux."""
     (tid, pos, l_qname, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos,
      tlen) = struct.unpack_from("<iiBBHHHiiii", data, 0)
     off = 32
@@ -228,23 +283,16 @@ def _decode_record(data: bytes) -> BamRecord:
     else:
         cigar = []
     off += 4 * n_cigar
-    nbytes = (l_seq + 1) // 2
-    if l_seq:
-        packed = np.frombuffer(data, dtype=np.uint8, count=nbytes,
-                               offset=off)
-        nibs = np.empty(nbytes * 2, dtype=np.uint8)
-        nibs[0::2] = packed >> 4
-        nibs[1::2] = packed & 0xF
-        seq = _NT16_BYTES[nibs[:l_seq]].tobytes().decode()
-    else:
-        seq = ""
-    off += nbytes
-    qual = data[off:off + l_seq]
-    off += l_seq
-    aux = _parse_aux(data[off:])
-    rec = BamRecord(qname, flag, tid, pos, mapq, cigar, seq, qual, aux,
-                    mtid, mpos, tlen)
+    rec = BamRecord(qname, flag, tid, pos, mapq, cigar, "", b"",
+                    None, mtid, mpos, tlen)
     rec._bin = _bin
+    rec.l_seq = l_seq
+    rec._raw_lseq = l_seq
+    rec._raw = data
+    rec._seq_off = off
+    rec._seq = None if l_seq else ""
+    rec._qual = None if l_seq else b""
+    rec._aux = None
     return rec
 
 
@@ -271,14 +319,14 @@ def _encode_record(rec: BamRecord) -> bytes:
 class BamReader:
     """Sequential BAM reader over a path or pre-decompressed bytes."""
 
-    def __init__(self, path: str | bytes):
-        if isinstance(path, (bytes, bytearray)):
+    def __init__(self, path):
+        if isinstance(path, (bytes, bytearray, memoryview)):
             import io as _io
             gz = BgzfReader.__new__(BgzfReader)
             _io.RawIOBase.__init__(gz)
             gz._fh = None
             gz._own = False
-            gz._buf = bytes(path)
+            gz._buf = path
             gz._pos = 0
             gz._eof = True
             self._gz = gz
@@ -288,12 +336,12 @@ class BamReader:
         if magic != b"BAM\x01":
             raise IOError(f"{path}: not a BAM file")
         l_text = struct.unpack("<i", self._gz.read(4))[0]
-        text = self._gz.read(l_text).split(b"\x00", 1)[0].decode()
+        text = bytes(self._gz.read(l_text)).split(b"\x00", 1)[0].decode()
         n_ref = struct.unpack("<i", self._gz.read(4))[0]
         refs = []
         for _ in range(n_ref):
             l_name = struct.unpack("<i", self._gz.read(4))[0]
-            name = self._gz.read(l_name)[:-1].decode()
+            name = bytes(self._gz.read(l_name))[:-1].decode()
             l_ref = struct.unpack("<i", self._gz.read(4))[0]
             refs.append((name, l_ref))
         self.header = BamHeader(text, refs)
@@ -307,6 +355,8 @@ class BamReader:
             data = self._gz.read(block_size)
             if len(data) < block_size:
                 raise IOError("truncated BAM record")
+            if isinstance(data, memoryview):
+                data = bytes(data)
             yield _decode_record(data)
 
     def close(self) -> None:

@@ -23,6 +23,53 @@ _HDR = struct.Struct("<4BI2BH")  # magic(2) method flags mtime xfl os xlen
 MAX_BLOCK_DATA = 65280  # htslib uses 0xff00 to leave room for the wrapper
 
 
+def bgzf_inflate_all(path: str, threads: int = 2) -> bytearray | None:
+    """Whole-file BGZF decompression into one bytearray.
+
+    Scans block headers (BC size field + ISIZE footers) to lay out the
+    output, then inflates blocks on a small thread pool — zlib releases
+    the GIL, and bytearray slice-assignment is a real memcpy (numpy
+    buffer assignment measured ~50x slower at GB scale). Plays the role
+    of htslib's bgzf_mt reader pool (ping_pong.cpp:249)."""
+    from concurrent.futures import ThreadPoolExecutor
+    try:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    except OSError:
+        return None
+    metas = []
+    off = 0
+    total = 0
+    n = len(raw)
+    while off + 28 <= n:
+        if raw[off] != 0x1F or raw[off + 1] != 0x8B:
+            raise IOError("not a BGZF block")
+        xlen = struct.unpack_from("<H", raw, off + 10)[0]
+        bsize = struct.unpack_from("<H", raw, off + 16)[0] + 1
+        isize = struct.unpack_from("<I", raw, off + bsize - 4)[0]
+        if isize:
+            metas.append((off + 12 + xlen, bsize - 12 - xlen - 8, total,
+                          isize))
+        total += isize
+        off += bsize
+    out = bytearray(total)
+
+    def work(chunk):
+        for coff, clen, uoff, ulen in chunk:
+            out[uoff:uoff + ulen] = zlib.decompress(
+                raw[coff:coff + clen], -15, ulen)
+
+    if threads <= 1 or len(metas) < 64:
+        work(metas)
+    else:
+        # contiguous ranges (strided splits thrash the output cache)
+        step = (len(metas) + threads - 1) // threads
+        parts = [metas[i:i + step] for i in range(0, len(metas), step)]
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(work, parts))
+    return out
+
+
 class BgzfReader(io.RawIOBase):
     """Sequential BGZF reader exposing a file-like read() interface.
 
@@ -40,9 +87,12 @@ class BgzfReader(io.RawIOBase):
         self._eof = False
         if (isinstance(path_or_fh, (str, bytes))
                 and not _os.environ.get("SVDSS_TPU_NO_NATIVE")):
-            from .native import bgzf_read_all
-            data = bgzf_read_all(path_or_fh if isinstance(path_or_fh, str)
-                                 else path_or_fh.decode())
+            p = (path_or_fh if isinstance(path_or_fh, str)
+                 else path_or_fh.decode())
+            try:
+                data = bgzf_inflate_all(p)
+            except IOError:
+                data = None
             if data is not None:
                 self._buf = data
                 self._eof = True
@@ -85,6 +135,15 @@ class BgzfReader(io.RawIOBase):
         return data
 
     def read(self, n: int = -1) -> bytes:
+        if self._eof and self._fh is None:
+            # in-memory fast path: return (zero-copy) slices
+            if n < 0:
+                chunk = self._buf[self._pos:]
+                self._pos = len(self._buf)
+            else:
+                chunk = self._buf[self._pos:self._pos + n]
+                self._pos += len(chunk)
+            return chunk
         if n < 0:
             chunks = [self._buf[self._pos:]]
             self._buf, self._pos = b"", 0

@@ -41,8 +41,12 @@ def load() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
-def bgzf_read_all(path: str, n_threads: int = 4) -> Optional[bytes]:
-    """Decompress a whole BGZF file with the native parallel inflater."""
+def bgzf_read_all(path: str, n_threads: int = 4):
+    """Decompress a whole BGZF file with the native parallel inflater.
+
+    Returns a memoryview over a numpy buffer (one memmove from the C
+    buffer; ctypes.string_at measured ~6x slower at GB scale), or None
+    when the native library is unavailable."""
     lib = load()
     if lib is None:
         return None
@@ -53,7 +57,10 @@ def bgzf_read_all(path: str, n_threads: int = 4) -> Optional[bytes]:
     if rc != 0:
         return None
     try:
-        return ctypes.string_at(data, size.value)
+        buf = np.empty(size.value, dtype=np.uint8)
+        if size.value:
+            ctypes.memmove(buf.ctypes.data, data, size.value)
+        return memoryview(buf)
     finally:
         lib.svdss_free(data)
 

@@ -85,7 +85,7 @@ def eligible_reads_bam(bam_path: str, putative: bool
         for rec in reader:
             if not rec.is_primary:
                 continue
-            if len(rec.seq) < MIN_READ_LEN:
+            if rec.l_seq < MIN_READ_LEN:
                 continue
             xf = rec.get_tag("XF", 0)
             if putative and xf != 0:

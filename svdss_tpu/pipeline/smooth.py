@@ -99,7 +99,7 @@ def compute_max_accuracy(bam_path, chroms: Dict[str, str],
                 break
             if not rec.is_primary or rec.mapq < config.min_mapq:
                 continue
-            if len(rec.seq) < 2 or rec.tid < 0:
+            if rec.l_seq < 2 or rec.tid < 0:
                 continue
             chrom = names[rec.tid]
             if chrom not in chroms:
@@ -229,7 +229,7 @@ def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
             for rec in reader:
                 nproc += 1
                 if (not rec.is_primary or rec.mapq < config.min_mapq
-                        or len(rec.seq) < 2 or rec.tid < 0
+                        or rec.l_seq < 2 or rec.tid < 0
                         or names[rec.tid] not in chroms):
                     stats["dropped"] += 1
                     continue
