@@ -370,8 +370,8 @@ class BamReader:
 
 
 class BamWriter:
-    def __init__(self, path: str, header: BamHeader):
-        self._gz = BgzfWriter(path)
+    def __init__(self, path: str, header: BamHeader, level: int = 6):
+        self._gz = BgzfWriter(path, level=level)
         text_b = header.text.encode()
         self._gz.write(b"BAM\x01" + struct.pack("<i", len(text_b)) + text_b)
         self._gz.write(struct.pack("<i", len(header.refs)))

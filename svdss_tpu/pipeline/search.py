@@ -149,11 +149,15 @@ class _DeviceSearcher:
             logger.info("search: built %d-mer jump table in %.1fs",
                         self.jump_k, _time.time() - t0)
 
-    def search_batch(self, encoded: List[np.ndarray]
-                     ) -> List[List[Tuple[int, int]]]:
+    def dispatch(self, encoded: List[np.ndarray]):
+        """Launch a device batch asynchronously; returns an opaque handle.
+
+        JAX's async dispatch means this returns as soon as the kernel is
+        queued — packing the next batch overlaps device compute (the
+        device-side half of the reference's double buffering)."""
         from ..ops.pingpong_jax import batch_search, pack_reads
         if not encoded:
-            return []
+            return (encoded, None)
         L = _bucket_len(max(len(s) for s in encoded))
         padded = list(encoded)
         while len(padded) < self.lanes:
@@ -169,6 +173,13 @@ class _DeviceSearcher:
         else:
             res = batch_search(self.dev, seqs, lens, cap=self.cap,
                                overlap=self.config.overlap)
+        return (encoded, res)
+
+    def collect(self, handle) -> List[List[Tuple[int, int]]]:
+        """Materialize a dispatched batch's results (blocks on the device)."""
+        encoded, res = handle
+        if res is None:
+            return []
         n_sfs = np.asarray(res.n_sfs)
         qs = np.asarray(res.qs)
         ln = np.asarray(res.length)
@@ -185,6 +196,10 @@ class _DeviceSearcher:
                 out.append(list(zip(qs[i, :k].tolist(), ln[i, :k].tolist())))
         self.device_reads += len(encoded)
         return out
+
+    def search_batch(self, encoded: List[np.ndarray]
+                     ) -> List[List[Tuple[int, int]]]:
+        return self.collect(self.dispatch(encoded))
 
 
 def run_search(config: Config, index: FMDIndex,
@@ -226,17 +241,26 @@ def run_search(config: Config, index: FMDIndex,
         results_store: Dict[Tuple[int, int], List] = {}
         flushed: Dict[int, int] = {}
 
+        pending: List = []
+
+        def drain(keep: int = 0) -> None:
+            while len(pending) > keep:
+                bucket, batch, handle = pending.pop(0)
+                res = searcher.collect(handle)
+                base = flushed.get(bucket, 0)
+                for k, r in enumerate(res):
+                    results_store[(bucket, base + k)] = (batch[k][0],
+                                                         batch[k][1], r)
+                flushed[bucket] = base + len(batch)
+
         def flush(bucket: int) -> None:
             batch = buckets.pop(bucket, [])
             if not batch:
                 return
             encs = [e for _, _, e in batch]
-            res = searcher.search_batch(encs)
-            base = flushed.get(bucket, 0)
-            for k, r in enumerate(res):
-                results_store[(bucket, base + k)] = (batch[k][0],
-                                                     batch[k][1], r)
-            flushed[bucket] = base + len(batch)
+            handle = searcher.dispatch(encs)
+            pending.append((bucket, batch, handle))
+            drain(keep=1)   # overlap: keep one batch in flight
 
         counters: Dict[int, int] = {}
         for qname, seq, hp in _prefetch(reads):
@@ -251,6 +275,7 @@ def run_search(config: Config, index: FMDIndex,
                 flush(b)
         for b in list(buckets):
             flush(b)
+        drain(keep=0)
         for b, qname, idx in order:
             qn, hp, pairs = results_store[(b, idx)]
             emit([(qn, hp)], [pairs])

@@ -209,7 +209,9 @@ def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
     cache = _RefCache(chroms)
     with BamReader(src) as reader:
         names = reader.header.names
-        writer = BamWriter(out_path, reader.header)
+        # level-1 deflate: the smoothed BAM is an intermediate artifact,
+        # read back only by this framework (3-4x faster than level 6)
+        writer = BamWriter(out_path, reader.header, level=1)
         wq: "queue.Queue" = queue.Queue(maxsize=4096)
         werr = []
 
