@@ -217,7 +217,7 @@ def extend_alignment(rec: BamRecord, sfs_list: List[SFS], chrom: str,
     return merged
 
 
-def align_and_extend(bam_path: str, sfs_map: Dict[str, List[SFS]],
+def align_and_extend(bam_path, sfs_map: Dict[str, List[SFS]],
                      chroms: Dict[str, str], cfg: Config, stats: CallStats
                      ) -> Tuple[List[SFS], List[Clip]]:
     extended: List[SFS] = []
@@ -291,7 +291,7 @@ def cluster_by_proximity(extended: List[SFS], cfg: Config) -> List[Cluster]:
     return clusters
 
 
-def fill_clusters(bam_path: str, clusters: List[Cluster],
+def fill_clusters(bam_path, clusters: List[Cluster],
                   chroms: Dict[str, str], cfg: Config,
                   stats: CallStats) -> None:
     """Coverage + subread extraction, one streaming pass
@@ -750,13 +750,20 @@ def run_call(cfg: Config, chroms: Dict[str, str], bam_path: str,
     """Full call stage; returns (svs, poa_alignments, clips)."""
     t0 = time.time()
     stats = CallStats()
-    extended, clips = align_and_extend(bam_path, sfs_map, chroms, cfg, stats)
+    # decompress the BAM once; both streaming passes parse from memory
+    from ..io.bgzf import bgzf_inflate_all
+    try:
+        data = bgzf_inflate_all(bam_path)
+    except IOError:
+        data = None
+    src = data if data is not None else bam_path
+    extended, clips = align_and_extend(src, sfs_map, chroms, cfg, stats)
     logger.info("call: %d extended SFSs (%d/%d/%d unplaced, %d unknown, "
                 "%d clips)", len(extended), stats.unplaced, stats.s_unplaced,
                 stats.e_unplaced, stats.unknown, len(clips))
     clusters = cluster_by_proximity(extended, cfg)
     logger.info("call: %d clusters", len(clusters))
-    fill_clusters(bam_path, clusters, chroms, cfg, stats)
+    fill_clusters(src, clusters, chroms, cfg, stats)
     logger.info("call: filtered %d SFSs, %d + %d small clusters",
                 stats.unextended, stats.small_clusters,
                 stats.small_clusters_2)
