@@ -38,7 +38,8 @@ class Config:
     putative: bool = True
     overlap: int = -1                 # consecutive ping-pong searches overlap by 1bp
     max_output: int = 100000
-    max_sfs_per_read: int = 2048      # device-side SFS emission buffer bound (new)
+    max_sfs_per_read: int = 512       # device emission buffer bound; overflow
+                                      # lanes re-run on the exact host path
 
     # call
     flank: int = 100
