@@ -3,10 +3,8 @@
 Role equivalent of the reference's abPOA call (run_poa, caller.cpp:257-308):
 global alignment mode, no seeding, no progressive ordering, single
 consensus. Sequences are added to a growing partial-order DAG by global
-affine-gap alignment (match +2, mismatch -4, gap open/ext 4/2 — abPOA's
-default first gap piece; the convex second piece (24/1) matters only for
-gaps >20bp, which length-homogeneous subclusters (min_ratio 0.97 splits,
-caller.cpp:78-97) essentially never produce — noted for parity hardening).
+convex-gap alignment with abPOA's default scores: match +2, mismatch -4,
+gap cost min(4 + 2*len, 24 + 1*len) (dual affine pieces).
 
 Consensus is the heaviest bundle (Lee 2003, abPOA's default): the
 source-to-sink path maximizing summed edge support.
@@ -28,6 +26,8 @@ MATCH = 2
 MISMATCH = -4
 GAP_OPEN = 4
 GAP_EXT = 2
+GAP_OPEN2 = 24
+GAP_EXT2 = 1
 
 
 class _Graph:
@@ -108,12 +108,16 @@ def _align_to_graph(g: _Graph, seq: str):
 
     # Row 0 is the virtual source; row i (1..n) is node order[i-1].
     H = np.full((n + 1, m + 1), NEG, dtype=np.int32)
-    E = np.full((n + 1, m + 1), NEG, dtype=np.int32)   # gap consuming nodes
-    F = np.full((n + 1, m + 1), NEG, dtype=np.int32)   # gap consuming seq
+    E = np.full((n + 1, m + 1), NEG, dtype=np.int32)    # node gap, piece 1
+    E2 = np.full((n + 1, m + 1), NEG, dtype=np.int32)   # node gap, piece 2
+    F = np.full((n + 1, m + 1), NEG, dtype=np.int32)    # seq gap, piece 1
+    F2 = np.full((n + 1, m + 1), NEG, dtype=np.int32)   # seq gap, piece 2
     jj = np.arange(1, m + 1, dtype=np.int32)
     H[0, 0] = 0
-    H[0, 1:] = -(GAP_OPEN + GAP_EXT * jj)
+    H[0, 1:] = -np.minimum(GAP_OPEN + GAP_EXT * jj,
+                           GAP_OPEN2 + GAP_EXT2 * jj)
     oe = GAP_OPEN + GAP_EXT
+    oe2 = GAP_OPEN2 + GAP_EXT2
 
     def row_preds(v: int) -> List[int]:
         ps = [pos_in_order[u] + 1 for u in g.preds[v]]
@@ -127,29 +131,39 @@ def _align_to_graph(g: _Graph, seq: str):
         sub = np.where(seq_arr == b, np.int32(MATCH), np.int32(MISMATCH))
         best_h = np.full(m + 1, NEG, dtype=np.int32)
         best_e = np.full(m + 1, NEG, dtype=np.int32)
+        best_e2 = np.full(m + 1, NEG, dtype=np.int32)
         for pi in row_preds(v):
             hp = H[pi]
             # diagonal: consume node + seq char
             cand = np.full(m + 1, NEG, dtype=np.int32)
             cand[1:] = hp[:-1] + sub
             best_h = np.maximum(best_h, cand)
-            # E: consume node only (deletion in seq)
-            ecand = np.maximum(hp - oe, E[pi] - GAP_EXT)
-            best_e = np.maximum(best_e, ecand)
+            # E: consume node only (deletion in seq), both gap pieces
+            best_e = np.maximum(best_e,
+                                np.maximum(hp - oe, E[pi] - GAP_EXT))
+            best_e2 = np.maximum(best_e2,
+                                 np.maximum(hp - oe2, E2[pi] - GAP_EXT2))
         E[i] = best_e
-        Hrow = np.maximum(best_h, best_e)
-        # lazy-F fixpoint: F[i, j] = max_k<j (H[i, k] - gapcost(j - k))
+        E2[i] = best_e2
+        Hrow = np.maximum(best_h, np.maximum(best_e, best_e2))
+        # lazy-F fixpoint over both pieces:
+        # F[i, j] = max_k<j (H[i, k] - piece-cost(j - k))
+        kk = np.arange(m + 1, dtype=np.int32)
+        Fv = np.full(m + 1, NEG, dtype=np.int32)
+        F2v = np.full(m + 1, NEG, dtype=np.int32)
         for _ in range(m + 1):
-            aug = Hrow - GAP_OPEN + GAP_EXT * np.arange(m + 1,
-                                                        dtype=np.int32)
-            run = np.maximum.accumulate(aug)
+            run = np.maximum.accumulate(Hrow - GAP_OPEN + GAP_EXT * kk)
             Fv = np.full(m + 1, NEG, dtype=np.int32)
             Fv[1:] = run[:-1] - GAP_EXT * jj
-            new_H = np.maximum(Hrow, Fv)
+            run2 = np.maximum.accumulate(Hrow - GAP_OPEN2 + GAP_EXT2 * kk)
+            F2v = np.full(m + 1, NEG, dtype=np.int32)
+            F2v[1:] = run2[:-1] - GAP_EXT2 * jj
+            new_H = np.maximum(Hrow, np.maximum(Fv, F2v))
             if np.array_equal(new_H, Hrow):
-                F[i] = Fv
                 break
             Hrow = new_H
+        F[i] = Fv
+        F2[i] = F2v
         H[i] = Hrow
 
     # pick best end: global over end nodes (virtual sink)
@@ -173,8 +187,14 @@ def _align_to_graph(g: _Graph, seq: str):
             if hv == F[i, j]:
                 state = "F"
                 continue
+            if hv == F2[i, j]:
+                state = "F2"
+                continue
             if hv == E[i, j]:
                 state = "E"
+                continue
+            if hv == E2[i, j]:
+                state = "E2"
                 continue
             moved = False
             if j > 0:
@@ -189,18 +209,21 @@ def _align_to_graph(g: _Graph, seq: str):
             if not moved:
                 # numerical fallback: treat as deletion of the node
                 state = "E"
-        elif state == "E":
+        elif state in ("E", "E2"):
+            Em = E if state == "E" else E2
+            ext = GAP_EXT if state == "E" else GAP_EXT2
+            open_cost = oe if state == "E" else oe2
             v = order[i - 1]
             path.append((v, -1))
             done = False
             for pi in row_preds(v):
-                if E[i, j] == E[pi, j] - GAP_EXT:
+                if Em[i, j] == Em[pi, j] - ext:
                     i = pi
                     done = True
                     break
             if not done:
                 for pi in row_preds(v):
-                    if E[i, j] == H[pi, j] - oe:
+                    if Em[i, j] == H[pi, j] - open_cost:
                         i = pi
                         state = "H"
                         done = True
@@ -208,9 +231,11 @@ def _align_to_graph(g: _Graph, seq: str):
             if not done:
                 i = row_preds(v)[0]
                 state = "H"
-        else:  # F: gap consuming seq chars
+        else:  # F / F2: gap consuming seq chars
+            Fm = F if state == "F" else F2
+            ext = GAP_EXT if state == "F" else GAP_EXT2
             path.append((-1, j - 1))
-            if j >= 2 and F[i, j] == F[i, j - 1] - GAP_EXT:
+            if j >= 2 and Fm[i, j] == Fm[i, j - 1] - ext:
                 j -= 1
             else:
                 j -= 1

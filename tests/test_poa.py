@@ -49,3 +49,15 @@ def test_majority_insertion(rng):
     # minority insertion is dropped
     cons2 = poa_consensus([ins] * 2 + [base] * 5)
     assert cons2 == base
+
+
+def test_long_gap_uses_convex_piece(rng):
+    # a 60bp minority gap: with dual pieces the majority insertion aligns as
+    # one long gap (piece 2: 24 + 60 < piece 1: 4 + 120)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, 160))
+    ins = "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    with_ins = base[:80] + ins + base[80:]
+    cons = poa_consensus([with_ins] * 5 + [base] * 2)
+    assert cons == with_ins
+    cons2 = poa_consensus([with_ins] * 2 + [base] * 5)
+    assert cons2 == base
