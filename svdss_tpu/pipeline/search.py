@@ -140,6 +140,7 @@ class _DeviceSearcher:
         self.device_reads = 0
         self.jump_k = 0
         self.jump_table = None
+        self._compiled_buckets = set()
         if config.kmer_jump and index.n >= (1 << 22):
             from ..ops.fmd_jax import build_jump_table
             import time as _time
@@ -159,6 +160,11 @@ class _DeviceSearcher:
         if not encoded:
             return (encoded, None)
         L = _bucket_len(max(len(s) for s in encoded))
+        if L not in self._compiled_buckets:
+            self._compiled_buckets.add(L)
+            logger.info("search: first batch for read-length bucket %d — "
+                        "kernel may compile (minutes on first use; cached "
+                        "afterwards)", L)
         padded = list(encoded)
         while len(padded) < self.lanes:
             padded.append(np.ones(1, dtype=np.uint8))
