@@ -146,13 +146,17 @@ def cmd_run(args) -> int:
     sfs_path = os.path.join(wd, "specifics.txt")
     vcf_path = os.path.join(wd, "variations.vcf")
 
+    import time as _time
     chroms = load_chromosomes(args.reference)
     if os.path.exists(index_path):
         logger.info("run: reusing existing index %s", index_path)
         index = FMDIndex.load(index_path)
     else:
+        t0 = _time.time()
         index = build_index(chroms)
         index.save(index_path)
+        logger.info("run: index built in %.1fs (%d symbols)",
+                    _time.time() - t0, index.n)
     if not os.path.exists(smoothed_path):
         run_smooth(cfg, chroms, args.bam, smoothed_path)
     else:
