@@ -154,20 +154,25 @@ def cmd_run(args) -> int:
     else:
         t0 = _time.time()
         index = build_index(chroms)
-        index.save(index_path)
+        index.save(index_path + ".tmp")
+        os.replace(index_path + ".tmp.npz", index_path)
         logger.info("run: index built in %.1fs (%d symbols)",
                     _time.time() - t0, index.n)
+    # artifacts are written to a temp name and renamed on success, so an
+    # interrupted stage is re-run rather than resumed from a partial file
     if not os.path.exists(smoothed_path):
-        run_smooth(cfg, chroms, args.bam, smoothed_path)
+        run_smooth(cfg, chroms, args.bam, smoothed_path + ".tmp")
+        os.replace(smoothed_path + ".tmp", smoothed_path)
     else:
         logger.info("run: reusing %s", smoothed_path)
     if not os.path.exists(sfs_path):
-        with open(sfs_path, "w") as fh:
+        with open(sfs_path + ".tmp", "w") as fh:
             run_search(cfg, index, bam=smoothed_path, out=fh)
+        os.replace(sfs_path + ".tmp", sfs_path)
     else:
         logger.info("run: reusing %s", sfs_path)
     sfs_map = parse_sfs_file(sfs_path)
-    with open(vcf_path, "w") as fh:
+    with open(vcf_path + ".tmp", "w") as fh:
         svs, _, _ = run_call(cfg, chroms, smoothed_path, sfs_map, out=None)
         if not args.no_gt:
             for sv in svs:
@@ -175,6 +180,7 @@ def cmd_run(args) -> int:
                 sv.set_gt(gt, q)
         from .io.vcf import write_vcf
         write_vcf(fh, chroms, svs)
+    os.replace(vcf_path + ".tmp", vcf_path)
     logger.info("run: wrote %s (%d SVs)", vcf_path, len(svs))
     return 0
 
