@@ -24,14 +24,14 @@ import os
 import numpy as np
 
 _NATIVE = None
-_NATIVE_TRIED = False
 
 
 def _load_native():
-    global _NATIVE, _NATIVE_TRIED
-    if _NATIVE_TRIED:
+    # only a successful load is cached: the library may be built after the
+    # first (failed) lookup, e.g. by tests/test_native.py's module fixture
+    global _NATIVE
+    if _NATIVE is not None:
         return _NATIVE
-    _NATIVE_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     for cand in (os.path.join(here, "native", "libsvdss_native.so"),

@@ -15,14 +15,14 @@ from typing import Optional
 import numpy as np
 
 _LIB = None
-_TRIED = False
 
 
 def load() -> Optional[ctypes.CDLL]:
-    global _LIB, _TRIED
-    if _TRIED:
+    # only a successful load is cached: the library may be built after the
+    # first (failed) lookup, e.g. by tests/test_native.py's module fixture
+    global _LIB
+    if _LIB is not None:
         return _LIB
-    _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     cand = os.path.join(here, "native", "libsvdss_native.so")
