@@ -7,7 +7,8 @@ lockstep queries — the layout is driven by the measured cost model of XLA's
 TPU gather, which is dominated by the *number of gathered rows* (~11ns/row)
 rather than row bytes:
 
-  ``fused`` int32[nblk, 48] — one 192-byte row per 128-symbol block:
+  ``fused`` int32[nblk, 48] — one 192-byte row per 128-symbol block, each
+  row SPANNING 256 symbols (rows overlap; stride 128):
       cols  0..5  : occ checkpoint — count of each nt6 symbol in
                     BWT[0 : 128*b]
       cols  8..13 : order-prefix checkpoint — count of symbols whose
@@ -15,13 +16,19 @@ rather than row bytes:
                     SURVEY.md §3.3) is < k, precomputed so the cumulative
                     coordinate of an FMD extension needs no per-symbol
                     loop on device
-      cols 16..47 : the block's 128 BWT symbols, 4 bytes per int32 word
+      cols 16..47 : BWT[128*b : 128*b + 256], 8 nibbles per int32 word
   ``C`` int32[8] — cumulative symbol counts.
 
-One batched extension therefore gathers exactly two rows per lane
-(positions lo and hi) and does two masked-compare popcounts on the VPU.
-Everything is int32 (index text < 2^31 symbols; larger genomes shard by
-chromosome groups across devices).
+An extension needs ranks at both interval endpoints (lo, hi = lo + sz).
+Because each row spans 256 symbols, both endpoints resolve from the *one*
+row at lo whenever sz <= 128 — which is every step except the first
+~log4(n/128) after a phase start (and repeat-heavy k-mers). Gather cost is
+row-count-bound (~11ns/row regardless of 192 vs 384 bytes, measured), so
+the overlapping span halves hot-loop gather rows at identical memory
+(1.5 B/sym). Far lanes (sz > 128) take a second gather at hi, guarded by a
+`lax.cond` so near-only steps skip it entirely. Everything is int32 (index
+text < 2^31 symbols; larger genomes shard by chromosome groups across
+devices).
 """
 
 from __future__ import annotations
@@ -39,16 +46,17 @@ from ..index.fmd import FMDIndex
 _ORD_NP = np.array([0, 4, 3, 2, 1, 5], dtype=np.int32)
 _CUM_ORDER = (0, 4, 3, 2, 1, 5)
 
-# device block size: symbols per fused row (decoupled from the host
-# checkpoint stride). 128 -> 192-byte rows, 1.5 bytes/symbol: a whole-
-# genome GRCh38 two-strand index (~6.2G symbols) fits one v5e HBM (~9.3GB).
-# 64-symbol rows measured only ~3% faster (gathers are row-count-bound)
-# at twice the memory.
+# device block stride: one fused row per 128 symbols, each row spanning
+# 256 symbols (see module docstring). 192-byte rows, 1.5 bytes/symbol: a
+# whole-genome GRCh38 two-strand index (~6.2G symbols) fits one v5e HBM
+# (~9.3GB). 64-symbol rows measured only ~3% faster (gathers are
+# row-count-bound) at twice the memory.
 DEV_BLOCK = 128
+SPAN = 2 * DEV_BLOCK
 _LOG_BLOCK = int(np.log2(DEV_BLOCK))
 assert (1 << _LOG_BLOCK) == DEV_BLOCK
 OCC_COLS = 16
-BWT_WORDS = DEV_BLOCK // 4
+BWT_WORDS = SPAN // 8            # 4-bit packed symbols
 ROW_WORDS = OCC_COLS + BWT_WORDS
 
 
@@ -66,22 +74,22 @@ def _fused_from_host(idx: FMDIndex) -> np.ndarray:
     """Build the fused device table in bounded-memory chunks."""
     nblk = idx.n // DEV_BLOCK + 1
     out = np.zeros((nblk, ROW_WORDS), dtype=np.int32)
-    sym_all = np.zeros(nblk * DEV_BLOCK, dtype=np.uint8)
+    # one extra zero block so every row's 256-symbol span is in bounds
+    sym_all = np.zeros((nblk + 1) * DEV_BLOCK, dtype=np.uint8)
     sym_all[: idx.n] = idx.bwt
+    blocks = sym_all.reshape(nblk + 1, DEV_BLOCK)
     per_block = np.zeros((nblk, 6), dtype=np.int64)
-    shifts = np.arange(4, dtype=np.int64) * 8
+    shifts = np.arange(8, dtype=np.int64) * 4
     chunk = 1 << 17
     for start in range(0, nblk, chunk):
         stop = min(start + chunk, nblk)
-        seg = sym_all[start * DEV_BLOCK:stop * DEV_BLOCK].reshape(
-            -1, DEV_BLOCK)
         for c in range(6):
-            per_block[start:stop, c] = (seg == c).sum(axis=1)
-        words = (seg.reshape(stop - start, DEV_BLOCK // 4, 4).astype(np.int64)
+            per_block[start:stop, c] = (blocks[start:stop] == c).sum(axis=1)
+        span = np.concatenate([blocks[start:stop],
+                               blocks[start + 1:stop + 1]], axis=1)
+        words = (span.reshape(stop - start, BWT_WORDS, 8).astype(np.int64)
                  << shifts[None, None, :]).sum(axis=2)
-        out[start:stop, OCC_COLS:] = words.astype(np.int64).astype(np.int32)
-    # padding zeros in the final block were counted as symbol 0
-    per_block[-1, 0] -= nblk * DEV_BLOCK - idx.n
+        out[start:stop, OCC_COLS:] = words.astype(np.int32)
     occ6 = np.zeros((nblk, 6), dtype=np.int64)
     occ6[1:] = np.cumsum(per_block, axis=0)[:-1]
     assert occ6.max() < 2**31
@@ -124,12 +132,12 @@ class DeviceFMDIndex(NamedTuple):
 
 
 def _unpack_rows(rows: jax.Array):
-    """[R, 48] fused rows -> (occ [R, 16], sym [R, 128] int32)."""
+    """[R, 48] fused rows -> (occ [R, 16], sym [R, 256] int32)."""
     occ = rows[:, :OCC_COLS]
     words = rows[:, OCC_COLS:]
-    shifts = jnp.arange(4, dtype=jnp.int32) * 8
-    sym = (words[:, :, None] >> shifts[None, None, :]) & 0xFF
-    return occ, sym.reshape(rows.shape[0], DEV_BLOCK)
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    sym = (words[:, :, None] >> shifts[None, None, :]) & 0xF
+    return occ, sym.reshape(rows.shape[0], SPAN)
 
 
 def _select_col(mat: jax.Array, col: jax.Array, width: int) -> jax.Array:
@@ -151,7 +159,7 @@ def rank6(index: DeviceFMDIndex, pos: jax.Array) -> jax.Array:
     off = pos & (DEV_BLOCK - 1)
     occ, sym = _unpack_rows(index.fused[blk])
     in_range = jax.lax.broadcasted_iota(
-        jnp.int32, (1, DEV_BLOCK), 1) < off[:, None]
+        jnp.int32, (1, SPAN), 1) < off[:, None]
     eq = sym[:, :, None] == jnp.arange(6, dtype=jnp.int32)[None, None, :]
     cnt = jnp.sum(eq & in_range[:, :, None], axis=1, dtype=jnp.int32)
     return occ[:, :6] + cnt
@@ -187,30 +195,42 @@ def extend_select(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel, do):
     where ordcnt(p) counts BWT[0:p) symbols ordered before c in the
     complement order — exactly the cumulative sum the reference assigns
     over ok[0],ok[4],ok[3],ok[2],ok[1],ok[5].
+
+    This generic form gathers rows at BOTH endpoints unconditionally
+    (2 gathers; used by the jump-table builder where wide intervals are
+    the norm). The search hot loop instead uses `extend_select_step`,
+    which gathers ONE row per lane per step — the span row at lo covers
+    both endpoints when sz <= 128, and rare wide extensions stretch over
+    two uniform steps via a tiny pending state instead of a branch.
     """
     lo = jnp.where(is_back, x0, x1)
     lo = jnp.where(do, lo, 0)
-    hi = lo + jnp.where(do, sz, 0)
-    q = lo.shape[0]
-    pos = jnp.concatenate([lo, hi])                   # [2Q]
-    blk = pos >> _LOG_BLOCK
-    off = pos & (DEV_BLOCK - 1)
-    occ, sym = _unpack_rows(index.fused[blk])         # one gather of 2Q rows
-    in_range = jax.lax.broadcasted_iota(
-        jnp.int32, (1, DEV_BLOCK), 1) < off[:, None]
+    szm = jnp.where(do, sz, 0)
+    hi = lo + szm
+    o_sel = ord6(c_sel)
+    rank_lo, ord_lo = _gathered_rank(index, lo >> _LOG_BLOCK,
+                                     lo & (DEV_BLOCK - 1), c_sel, o_sel)
+    rank_hi, ord_hi = _gathered_rank(index, hi >> _LOG_BLOCK,
+                                     hi & (DEV_BLOCK - 1), c_sel, o_sel)
+    return _combine(index, x0, x1, is_back, c_sel,
+                    rank_lo, ord_lo, rank_hi, ord_hi)
 
-    c2 = jnp.concatenate([c_sel, c_sel])
-    o2 = ord6(c2)
-    eq = (sym == c2[:, None]) & in_range
-    rank_c = (jnp.sum(eq, axis=1, dtype=jnp.int32)
-              + _select_col(occ, c2, 8))
-    ordv = ord6(sym)
-    lt = (ordv < o2[:, None]) & in_range
-    ord_c = (jnp.sum(lt, axis=1, dtype=jnp.int32)
-             + _select_col(occ[:, 8:], o2, 8))
 
-    rank_lo, rank_hi = rank_c[:q], rank_c[q:]
-    ord_lo, ord_hi = ord_c[:q], ord_c[q:]
+def _gathered_rank(index: DeviceFMDIndex, blk, off, c_sel, o_sel):
+    """Gather span rows at blk; rank/ord counts of c_sel over
+    BWT[0 : 128*blk + off] (off in [0, 256])."""
+    occ, sym = _unpack_rows(index.fused[blk])
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
+    m = iota < off[:, None]
+    rank = (jnp.sum((sym == c_sel[:, None]) & m, axis=1, dtype=jnp.int32)
+            + _select_col(occ, c_sel, 8))
+    ordr = (jnp.sum((ord6(sym) < o_sel[:, None]) & m, axis=1,
+                    dtype=jnp.int32) + _select_col(occ[:, 8:], o_sel, 8))
+    return rank, ordr
+
+
+def _combine(index: DeviceFMDIndex, x0, x1, is_back, c_sel,
+             rank_lo, ord_lo, rank_hi, ord_hi):
     sz_n = rank_hi - rank_lo
     xr = lookup_C(index, c_sel) + rank_lo
     base_other = jnp.where(is_back, x1, x0)
@@ -218,6 +238,58 @@ def extend_select(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel, do):
     x0_n = jnp.where(is_back, xr, xo)
     x1_n = jnp.where(is_back, xo, xr)
     return x0_n, x1_n, sz_n
+
+
+def extend_select_step(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel,
+                       do, pend, p_rank, p_ord):
+    """One uniform hot-loop step of bi-interval extension: exactly ONE
+    gathered span row per lane.
+
+    Near lanes (off_lo + sz <= 256, i.e. always when sz <= 128) complete
+    an extension in one step from the lo row. Wide lanes take two steps:
+    step A gathers the lo row, stashes (rank_lo, ord_lo) in
+    (p_rank, p_ord) and raises `pend`; step B — the caller must leave the
+    lane's state untouched in between, so lo/hi/c_sel recompute
+    identically — gathers the hi row and completes. Returns
+    (x0n, x1n, szn, complete, pend_next, p_rank_next, p_ord_next); lanes
+    with complete=False (step A) must not apply x*/sz nor advance.
+    """
+    lo = jnp.where(is_back, x0, x1)
+    lo = jnp.where(do, lo, 0)
+    szm = jnp.where(do, sz, 0)
+    hi = lo + szm
+    off_lo = lo & (DEV_BLOCK - 1)
+    off_hi = off_lo + szm
+    near = off_hi <= SPAN
+
+    blk = jnp.where(pend, hi >> _LOG_BLOCK, lo >> _LOG_BLOCK)
+    m_lo = jnp.where(pend, 0, off_lo)
+    m_hi = jnp.where(pend, hi & (DEV_BLOCK - 1),
+                     jnp.minimum(off_hi, SPAN))
+
+    occ, sym = _unpack_rows(index.fused[blk])         # ONE Q-row gather
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
+    o_sel = ord6(c_sel)
+    eq = sym == c_sel[:, None]
+    lt = ord6(sym) < o_sel[:, None]
+    occ_c = _select_col(occ, c_sel, 8)
+    occ_o = _select_col(occ[:, 8:], o_sel, 8)
+    r_lo = jnp.sum(eq & (iota < m_lo[:, None]), axis=1,
+                   dtype=jnp.int32) + occ_c
+    r_hi = jnp.sum(eq & (iota < m_hi[:, None]), axis=1,
+                   dtype=jnp.int32) + occ_c
+    o_lo = jnp.sum(lt & (iota < m_lo[:, None]), axis=1,
+                   dtype=jnp.int32) + occ_o
+    o_hi = jnp.sum(lt & (iota < m_hi[:, None]), axis=1,
+                   dtype=jnp.int32) + occ_o
+
+    rank_lo = jnp.where(pend, p_rank, r_lo)
+    ord_lo = jnp.where(pend, p_ord, o_lo)
+    complete = pend | near
+    pend_next = do & ~near & ~pend
+    x0_n, x1_n, sz_n = _combine(index, x0, x1, is_back, c_sel,
+                                rank_lo, ord_lo, r_hi, o_hi)
+    return x0_n, x1_n, sz_n, complete, pend_next, r_lo, o_lo
 
 
 # ---------------------------------------------------------------- jump table

@@ -17,8 +17,11 @@ TPU-shaped details (all driven by measured XLA cost):
     held in loop state — the per-lane cursor moves by +-1 per step, so one
     batched chunk refresh every 24 steps replaces a per-step per-lane
     dynamic index into [Q, L] (XLA lowers that to a ~300us gather);
-  * SFS emission writes via one-hot masks over the [Q, cap] output buffers
-    instead of scatter (TPU scatter serializes);
+  * SFS emission is two-level: steps write via tiny one-hot masks into a
+    [Q, 12] staging buffer (an SFS takes >= 2 steps, so 12 slots cover a
+    24-step inner loop), which the outer body merges into the [Q, cap]
+    output buffers once per 24 steps — full-width one-hot writes every
+    step measured 11.9us/step at cap=512, ~25% of the loop;
   * the loop is an outer `lax.while_loop` over an inner unrolled
     `fori_loop` of 24 steps, bounding refresh frequency and loop overhead.
 
@@ -39,11 +42,12 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .fmd_jax import DeviceFMDIndex, comp6, extend_select, set_intv
+from .fmd_jax import DeviceFMDIndex, comp6, extend_select_step, set_intv
 
 CHUNK = 128      # per-lane cached window of the read
 STRIDE = 64      # chunk base granularity
 K_INNER = 24     # steps per chunk refresh (margin: 32 >= 24 + transitions)
+STAGE = 12       # emission staging slots (>= K_INNER / 2)
 
 
 class PingPongResult(NamedTuple):
@@ -129,18 +133,22 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         end=jnp.zeros(Q, dtype=jnp.int32),
         x0=x0_i, x1=x1_i, sz=sz_i,
         active=lens >= 1,
+        pend=jnp.zeros(Q, dtype=bool),
+        p_rank=jnp.zeros(Q, dtype=jnp.int32),
+        p_ord=jnp.zeros(Q, dtype=jnp.int32),
         nsfs=jnp.zeros(Q, dtype=jnp.int32),
         out_qs=jnp.zeros((Q, cap), dtype=jnp.int32),
         out_l=jnp.zeros((Q, cap), dtype=jnp.int32),
         overflow=jnp.zeros(Q, dtype=bool),
     )
+    stage_iota = jax.lax.broadcasted_iota(jnp.int32, (1, STAGE), 1)
 
     def cond(s):
         return jnp.any(s["active"]) & (s["it"] < max_outer * K_INNER)
 
     def step(carry):
-        (dir_, begin, end, x0, x1, sz, active, nsfs, out_qs, out_l,
-         overflow, chunk, kchunk, base) = carry
+        (dir_, begin, end, x0, x1, sz, active, pend, p_rank, p_ord, nstage,
+         stage_qs, stage_l, chunk, kchunk, base) = carry
 
         is_bwd = dir_ == 0
         bwd_can = is_bwd & (sz != 0) & (begin > 0)
@@ -155,35 +163,39 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         c_acc = _chunk_select(chunk, a - base)
         c_sel = jnp.where(is_bwd, c_acc, comp6(c_acc))
 
-        x0n, x1n, szn = extend_select(index, x0, x1, sz, is_bwd, c_sel,
-                                      do_ext)
         # forward extension past the last base reads the NUL sentinel; its
-        # interval is treated as empty (ping_pong.cpp:31-37 boundary, see
-        # ops/pingpong_host.py docstring)
-        szn = jnp.where((~is_bwd) & (c_acc == 0), 0, szn)
+        # interval is forced empty (ping_pong.cpp:31-37 boundary, see
+        # ops/pingpong_host.py docstring) — complete immediately, the
+        # half-done interval coords are never read once sz == 0
+        sent = (~is_bwd) & (c_acc == 0)
+        (x0n, x1n, szn, complete, pend, p_rank, p_ord) = extend_select_step(
+            index, x0, x1, sz, is_bwd, c_sel, do_ext & ~sent, pend,
+            p_rank, p_ord)
+        szn = jnp.where(sent, 0, szn)
+        complete = complete | sent
+        do_apply = do_ext & complete
 
-        upd_b = active & bwd_can
-        upd_f = active & fwd_can
+        upd_b = active & bwd_can & complete
+        upd_f = active & fwd_can & complete
         b_exit = active & is_bwd & ~bwd_can
         f_exit = active & (~is_bwd) & ~fwd_can
 
         begin1 = jnp.where(upd_b, begin - 1, begin)
         end1 = jnp.where(upd_f, end + 1, end)
-        x0 = jnp.where(do_ext, x0n, x0)
-        x1 = jnp.where(do_ext, x1n, x1)
-        sz1 = jnp.where(do_ext, szn, sz)
+        x0 = jnp.where(do_apply, x0n, x0)
+        x1 = jnp.where(do_apply, x1n, x1)
+        sz1 = jnp.where(do_apply, szn, sz)
 
         # backward exit: whole-prefix match terminates, else switch to FWD
         prefix_match = b_exit & (begin == 0) & (sz != 0)
         to_fwd = b_exit & ~prefix_match
 
-        # forward exit: emit SFS (begin, end - begin + 1) via one-hot
-        can_emit = f_exit & (nsfs < cap)
-        onehot = (cap_iota == nsfs[:, None]) & can_emit[:, None]
-        out_qs = jnp.where(onehot, begin1[:, None], out_qs)
-        out_l = jnp.where(onehot, (end1 - begin1 + 1)[:, None], out_l)
-        overflow = overflow | (f_exit & (nsfs >= cap))
-        nsfs = jnp.where(can_emit, nsfs + 1, nsfs)
+        # forward exit: emit SFS (begin, end - begin + 1) into the staging
+        # buffer (merged into the [Q, cap] outputs once per outer body)
+        onehot = (stage_iota == nstage[:, None]) & f_exit[:, None]
+        stage_qs = jnp.where(onehot, begin1[:, None], stage_qs)
+        stage_l = jnp.where(onehot, (end1 - begin1 + 1)[:, None], stage_l)
+        nstage = jnp.where(f_exit, nstage + 1, nstage)
 
         emit_done = f_exit & (begin1 == 0)
         if overlap == 0:
@@ -242,8 +254,8 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         sz1 = jnp.where(trans, szt, sz1)
         active = active & ~(prefix_match | emit_done)
 
-        return (dir_, begin1, end1, x0, x1, sz1, active, nsfs, out_qs,
-                out_l, overflow, chunk, kchunk, base)
+        return (dir_, begin1, end1, x0, x1, sz1, active, pend, p_rank,
+                p_ord, nstage, stage_qs, stage_l, chunk, kchunk, base)
 
     def body(s):
         # refresh each lane's chunk around its cursor
@@ -261,13 +273,32 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         base = m * STRIDE
 
         carry = (s["dir"], s["begin"], s["end"], s["x0"], s["x1"], s["sz"],
-                 s["active"], s["nsfs"], s["out_qs"], s["out_l"],
-                 s["overflow"], chunk, kchunk, base)
+                 s["active"], s["pend"], s["p_rank"], s["p_ord"],
+                 jnp.zeros(Q, dtype=jnp.int32),
+                 jnp.zeros((Q, STAGE), dtype=jnp.int32),
+                 jnp.zeros((Q, STAGE), dtype=jnp.int32),
+                 chunk, kchunk, base)
         carry = jax.lax.fori_loop(0, K_INNER, lambda i, c: step(c), carry)
-        (dir_, begin, end, x0, x1, sz, active, nsfs, out_qs, out_l,
-         overflow, _, _, _) = carry
+        (dir_, begin, end, x0, x1, sz, active, pend, p_rank, p_ord, nstage,
+         stage_qs, stage_l, _, _, _) = carry
+
+        # merge the staged emissions (in order) into the output buffers
+        nsfs = s["nsfs"]
+        rel = cap_iota - nsfs[:, None]                       # [Q, cap]
+        vq = jnp.zeros_like(s["out_qs"])
+        vl = jnp.zeros_like(s["out_l"])
+        for k in range(STAGE):
+            hit = rel == k
+            vq = jnp.where(hit, stage_qs[:, k:k + 1], vq)
+            vl = jnp.where(hit, stage_l[:, k:k + 1], vl)
+        m = (rel >= 0) & (rel < nstage[:, None])
+        out_qs = jnp.where(m, vq, s["out_qs"])
+        out_l = jnp.where(m, vl, s["out_l"])
+        overflow = s["overflow"] | (nsfs + nstage > cap)
+        nsfs = jnp.minimum(nsfs + nstage, cap)
         return dict(it=s["it"] + K_INNER, dir=dir_, begin=begin, end=end,
-                    x0=x0, x1=x1, sz=sz, active=active, nsfs=nsfs,
+                    x0=x0, x1=x1, sz=sz, active=active, pend=pend,
+                    p_rank=p_rank, p_ord=p_ord, nsfs=nsfs,
                     out_qs=out_qs, out_l=out_l, overflow=overflow)
 
     final = jax.lax.while_loop(cond, body, state)
