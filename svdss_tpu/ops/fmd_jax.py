@@ -87,8 +87,12 @@ def _fused_from_host(idx: FMDIndex) -> np.ndarray:
             per_block[start:stop, c] = (blocks[start:stop] == c).sum(axis=1)
         span = np.concatenate([blocks[start:stop],
                                blocks[start + 1:stop + 1]], axis=1)
-        words = (span.reshape(stop - start, BWT_WORDS, 8).astype(np.int64)
-                 << shifts[None, None, :]).sum(axis=2)
+        # interleaved packing: position p lives in word p % 32, nibble
+        # p // 32, so the device unpack is tile(words, 8) >> shifts with
+        # column == position — no cross-lane relayout (a sequential
+        # packing costs a [Q, 32] layout-change copy every step)
+        words = (span.reshape(stop - start, 8, BWT_WORDS).astype(np.int64)
+                 << shifts[None, :, None]).sum(axis=1)
         out[start:stop, OCC_COLS:] = words.astype(np.int32)
     occ6 = np.zeros((nblk, 6), dtype=np.int64)
     occ6[1:] = np.cumsum(per_block, axis=0)[:-1]
@@ -132,12 +136,16 @@ class DeviceFMDIndex(NamedTuple):
 
 
 def _unpack_rows(rows: jax.Array):
-    """[R, 48] fused rows -> (occ [R, 16], sym [R, 256] int32)."""
+    """[R, 48] fused rows -> (occ [R, 16], sym [R, 256] int32).
+
+    Interleaved nibbles (see _fused_from_host): column c of the unpacked
+    symbols is BWT position c, via lane-dim tiling of the 32 words."""
     occ = rows[:, :OCC_COLS]
     words = rows[:, OCC_COLS:]
-    shifts = jnp.arange(8, dtype=jnp.int32) * 4
-    sym = (words[:, :, None] >> shifts[None, None, :]) & 0xF
-    return occ, sym.reshape(rows.shape[0], SPAN)
+    rep = jnp.tile(words, (1, 8))
+    shifts = (jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
+              // BWT_WORDS) * 4
+    return occ, (rep >> shifts) & 0xF
 
 
 def _select_col(mat: jax.Array, col: jax.Array, width: int) -> jax.Array:
@@ -166,9 +174,22 @@ def rank6(index: DeviceFMDIndex, pos: jax.Array) -> jax.Array:
 
 
 def lookup_C(index: DeviceFMDIndex, c: jax.Array) -> jax.Array:
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == c[:, None])
-    return jnp.sum(jnp.where(onehot, index.C[None, :], 0), axis=1,
-                   dtype=jnp.int32)
+    """C[c] per lane via a scalar select tree.
+
+    A [Q, 8] one-hot + reduce uses 8 of 128 VPU lanes over Q/8 sublane
+    rows (measured 13us/step across the hot loop's handful of lookups at
+    Q=4096); seven selects against loop-invariant scalars are ~100x
+    cheaper."""
+    C = index.C
+    b0 = (c & 1) != 0
+    b1 = (c & 2) != 0
+    s00 = jnp.where(b0, C[1], C[0])
+    s01 = jnp.where(b0, C[3], C[2])
+    s10 = jnp.where(b0, C[5], C[4])
+    s11 = jnp.where(b0, C[7], C[6])
+    t0 = jnp.where(b1, s01, s00)
+    t1 = jnp.where(b1, s11, s10)
+    return jnp.where((c & 4) != 0, t1, t0)
 
 
 def set_intv(index: DeviceFMDIndex, c: jax.Array):
@@ -240,22 +261,32 @@ def _combine(index: DeviceFMDIndex, x0, x1, is_back, c_sel,
     return x0_n, x1_n, sz_n
 
 
-def extend_select_step(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel,
-                       do, pend, p_rank, p_ord):
-    """One uniform hot-loop step of bi-interval extension: exactly ONE
-    gathered span row per lane.
+def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
+                     p_rank):
+    """One uniform hot-loop step of RANK-SIDE interval extension: exactly
+    ONE gathered span row per lane, and no complement-order work at all.
+
+    Ping-pong never consumes the complement-side coordinate of the FMD
+    bi-interval: every phase transition (backward->forward at a mismatch,
+    restart after an emission; ping_pong.cpp:28,44-47) re-seeds the
+    interval from a single symbol, and emissions carry only query
+    positions — so the ord side that rb3_fmd_extend maintains
+    (ping_pong.cpp:20,35) is dead state here. Each lane therefore tracks
+    only (pos, sz): pos is x0 during backward phases and x1 during
+    forward phases, updated as pos' = C[c_sel] + rank_c(pos) with
+    sz' = rank_c(pos + sz) - rank_c(pos). The full bi-interval form lives
+    on in `extend_select` (jump-table construction).
 
     Near lanes (off_lo + sz <= 256, i.e. always when sz <= 128) complete
-    an extension in one step from the lo row. Wide lanes take two steps:
-    step A gathers the lo row, stashes (rank_lo, ord_lo) in
-    (p_rank, p_ord) and raises `pend`; step B — the caller must leave the
-    lane's state untouched in between, so lo/hi/c_sel recompute
-    identically — gathers the hi row and completes. Returns
-    (x0n, x1n, szn, complete, pend_next, p_rank_next, p_ord_next); lanes
-    with complete=False (step A) must not apply x*/sz nor advance.
+    an extension in one step from the pos row: the span covers both
+    endpoints. Wide lanes take two steps: step A gathers the pos row,
+    stashes rank_lo in p_rank and raises `pend`; step B — the caller must
+    leave the lane's state untouched in between, so pos/sz/c_sel
+    recompute identically — gathers the hi row and completes. Returns
+    (pos_n, sz_n, complete, pend_next, p_rank_next); lanes with
+    complete=False (step A) must not apply pos/sz nor advance.
     """
-    lo = jnp.where(is_back, x0, x1)
-    lo = jnp.where(do, lo, 0)
+    lo = jnp.where(do, pos, 0)
     szm = jnp.where(do, sz, 0)
     hi = lo + szm
     off_lo = lo & (DEV_BLOCK - 1)
@@ -263,33 +294,35 @@ def extend_select_step(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel,
     near = off_hi <= SPAN
 
     blk = jnp.where(pend, hi >> _LOG_BLOCK, lo >> _LOG_BLOCK)
-    m_lo = jnp.where(pend, 0, off_lo)
-    m_hi = jnp.where(pend, hi & (DEV_BLOCK - 1),
-                     jnp.minimum(off_hi, SPAN))
+    # anchor count bound: rank at lo normally, rank at hi when completing
+    # a wide extension — both offsets are < 128, so the anchor sum only
+    # touches the row's first half
+    m_a = jnp.where(pend, hi & (DEV_BLOCK - 1), off_lo)
+    m_hi = jnp.minimum(off_hi, SPAN)
 
     occ, sym = _unpack_rows(index.fused[blk])         # ONE Q-row gather
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
-    o_sel = ord6(c_sel)
     eq = sym == c_sel[:, None]
-    lt = ord6(sym) < o_sel[:, None]
-    occ_c = _select_col(occ, c_sel, 8)
-    occ_o = _select_col(occ[:, 8:], o_sel, 8)
-    r_lo = jnp.sum(eq & (iota < m_lo[:, None]), axis=1,
-                   dtype=jnp.int32) + occ_c
-    r_hi = jnp.sum(eq & (iota < m_hi[:, None]), axis=1,
-                   dtype=jnp.int32) + occ_c
-    o_lo = jnp.sum(lt & (iota < m_lo[:, None]), axis=1,
-                   dtype=jnp.int32) + occ_o
-    o_hi = jnp.sum(lt & (iota < m_hi[:, None]), axis=1,
-                   dtype=jnp.int32) + occ_o
+    half = DEV_BLOCK
+    # the occ-checkpoint column select rides the anchor reduce (a [Q, 8]
+    # one-hot + its own reduce wastes 120 of 128 VPU lanes; appended to
+    # the 128-wide sum it is free)
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    occ_sel = jnp.where(iota8 == c_sel[:, None], occ[:, :8], 0)
+    avec = jnp.concatenate(
+        [occ_sel,
+         (eq[:, :half] & (iota[:, :half] < m_a[:, None])).astype(jnp.int32)],
+        axis=1)
+    anchor = jnp.sum(avec, axis=1, dtype=jnp.int32)
+    cnt = jnp.sum(eq & (iota >= off_lo[:, None]) & (iota < m_hi[:, None]),
+                  axis=1, dtype=jnp.int32)
 
-    rank_lo = jnp.where(pend, p_rank, r_lo)
-    ord_lo = jnp.where(pend, p_ord, o_lo)
+    rank_lo = jnp.where(pend, p_rank, anchor)
+    sz_n = jnp.where(pend, anchor - p_rank, cnt)
+    pos_n = lookup_C(index, c_sel) + rank_lo
     complete = pend | near
     pend_next = do & ~near & ~pend
-    x0_n, x1_n, sz_n = _combine(index, x0, x1, is_back, c_sel,
-                                rank_lo, ord_lo, r_hi, o_hi)
-    return x0_n, x1_n, sz_n, complete, pend_next, r_lo, o_lo
+    return pos_n, sz_n, complete, pend_next, anchor
 
 
 # ---------------------------------------------------------------- jump table

@@ -42,7 +42,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .fmd_jax import DeviceFMDIndex, comp6, extend_select_step, set_intv
+from .fmd_jax import DeviceFMDIndex, comp6, extend_rank_step, lookup_C
 
 CHUNK = 128      # per-lane cached window of the read
 STRIDE = 64      # chunk base granularity
@@ -88,6 +88,27 @@ def _chunk_select(chunk: jax.Array, off: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(onehot, chunk, 0), axis=1, dtype=jnp.int32)
 
 
+def _pack_chunks(chunks: jax.Array) -> jax.Array:
+    """[Q, W, 128] symbol chunks -> [Q, W, 16] nibble-packed words
+    (position p in word p >> 3, nibble p & 7)."""
+    q, w, _ = chunks.shape
+    nib = chunks.reshape(q, w, CHUNK // 8, 8)
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    return jnp.sum(nib << shifts[None, None, None, :], axis=3,
+                   dtype=jnp.int32)
+
+
+def _chunk_select_packed(chunkw: jax.Array, off: jax.Array) -> jax.Array:
+    """Per-lane symbol at packed chunk position off (off in [0, 128)).
+
+    One-hot over 16 words + a variable nibble shift: 8x fewer vregs than
+    the 128-wide one-hot (measured 3.5us/step at Q=4096)."""
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK // 8), 1)
+              == (off >> 3)[:, None])
+    word = jnp.sum(jnp.where(onehot, chunkw, 0), axis=1, dtype=jnp.int32)
+    return (word >> ((off & 7) * 4)) & 0xF
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "max_iters", "overlap",
                                              "jump_k"))
 def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
@@ -115,6 +136,7 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
     max_outer = (max_iters + K_INNER - 1) // K_INNER
     seqs = seqs.astype(jnp.int32)
     chunks, n_even = _build_chunks(seqs)
+    chunks = _pack_chunks(chunks)
     if jump_k:
         key_chunks, _ = _build_chunks(keys)
     n_windows = 2 * n_even - 1
@@ -122,7 +144,10 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
 
     begin0 = lens - 1
     c0 = jnp.take_along_axis(seqs, begin0[:, None], axis=1)[:, 0]
-    x0_i, x1_i, sz_i = set_intv(index, c0)
+    # rank-side coordinate + size of the single-symbol interval (the ord
+    # side of the bi-interval is never consumed — see extend_rank_step)
+    pos_i = lookup_C(index, c0)
+    sz_i = lookup_C(index, c0 + 1) - pos_i
 
     cap_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
@@ -131,11 +156,10 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         dir=jnp.zeros(Q, dtype=jnp.int32),          # 0 = BWD, 1 = FWD
         begin=begin0.astype(jnp.int32),
         end=jnp.zeros(Q, dtype=jnp.int32),
-        x0=x0_i, x1=x1_i, sz=sz_i,
+        pos=pos_i, sz=sz_i,
         active=lens >= 1,
         pend=jnp.zeros(Q, dtype=bool),
         p_rank=jnp.zeros(Q, dtype=jnp.int32),
-        p_ord=jnp.zeros(Q, dtype=jnp.int32),
         nsfs=jnp.zeros(Q, dtype=jnp.int32),
         out_qs=jnp.zeros((Q, cap), dtype=jnp.int32),
         out_l=jnp.zeros((Q, cap), dtype=jnp.int32),
@@ -147,7 +171,7 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         return jnp.any(s["active"]) & (s["it"] < max_outer * K_INNER)
 
     def step(carry):
-        (dir_, begin, end, x0, x1, sz, active, pend, p_rank, p_ord, nstage,
+        (dir_, begin, end, pos, sz, active, pend, p_rank, nstage,
          stage_qs, stage_l, chunk, kchunk, base) = carry
 
         is_bwd = dir_ == 0
@@ -160,7 +184,7 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
                       jnp.where(bwd_can, begin - 1, begin),
                       jnp.where(fwd_can, end + 1, end - 1))
         a = jnp.maximum(a, 0)
-        c_acc = _chunk_select(chunk, a - base)
+        c_acc = _chunk_select_packed(chunk, a - base)
         c_sel = jnp.where(is_bwd, c_acc, comp6(c_acc))
 
         # forward extension past the last base reads the NUL sentinel; its
@@ -168,9 +192,8 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         # ops/pingpong_host.py docstring) — complete immediately, the
         # half-done interval coords are never read once sz == 0
         sent = (~is_bwd) & (c_acc == 0)
-        (x0n, x1n, szn, complete, pend, p_rank, p_ord) = extend_select_step(
-            index, x0, x1, sz, is_bwd, c_sel, do_ext & ~sent, pend,
-            p_rank, p_ord)
+        (posn, szn, complete, pend, p_rank) = extend_rank_step(
+            index, pos, sz, c_sel, do_ext & ~sent, pend, p_rank)
         szn = jnp.where(sent, 0, szn)
         complete = complete | sent
         do_apply = do_ext & complete
@@ -182,8 +205,7 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
 
         begin1 = jnp.where(upd_b, begin - 1, begin)
         end1 = jnp.where(upd_f, end + 1, end)
-        x0 = jnp.where(do_apply, x0n, x0)
-        x1 = jnp.where(do_apply, x1n, x1)
+        pos = jnp.where(do_apply, posn, pos)
         sz1 = jnp.where(do_apply, szn, sz)
 
         # backward exit: whole-prefix match terminates, else switch to FWD
@@ -205,9 +227,14 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         restart = f_exit & ~emit_done
 
         # transitions need a fresh single-symbol interval at c_acc
-        # (to_fwd: P[begin]; restart: P[end - 1] == P[begin_new])
+        # (to_fwd: P[begin]; restart: P[end - 1] == P[begin_new]);
+        # the rank side is C[c] for a backward phase, C[comp c] for a
+        # forward one (the two sizes are equal by two-strand symmetry)
         trans = to_fwd | restart
-        x0t, x1t, szt = set_intv(index, c_acc)
+        post = jnp.where(to_fwd, comp6(c_acc), c_acc)
+        post_t = lookup_C(index, post)
+        c_lo = lookup_C(index, c_acc)
+        szt = lookup_C(index, c_acc + 1) - c_lo
 
         do_jump_b = jnp.zeros_like(restart)
         do_jump_f = jnp.zeros_like(restart)
@@ -236,8 +263,7 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
             hit = cand & (jsz > 0)
             do_jump_b = restart & hit
             do_jump_f = to_fwd & hit
-            x0t = jnp.where(hit, jx0, x0t)
-            x1t = jnp.where(hit, jx1, x1t)
+            post_t = jnp.where(hit, jnp.where(to_fwd, jx1, jx0), post_t)
             szt = jnp.where(hit, jsz, szt)
 
         dir_ = jnp.where(to_fwd, 1, jnp.where(restart, 0, dir_))
@@ -249,13 +275,12 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
                            jnp.where(do_jump_b,
                                      begin_new - (jump_k - 1), begin_new),
                            begin1)
-        x0 = jnp.where(trans, x0t, x0)
-        x1 = jnp.where(trans, x1t, x1)
+        pos = jnp.where(trans, post_t, pos)
         sz1 = jnp.where(trans, szt, sz1)
         active = active & ~(prefix_match | emit_done)
 
-        return (dir_, begin1, end1, x0, x1, sz1, active, pend, p_rank,
-                p_ord, nstage, stage_qs, stage_l, chunk, kchunk, base)
+        return (dir_, begin1, end1, pos, sz1, active, pend, p_rank,
+                nstage, stage_qs, stage_l, chunk, kchunk, base)
 
     def body(s):
         # refresh each lane's chunk around its cursor
@@ -272,14 +297,14 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
             kchunk = jnp.zeros((Q, 1), jnp.int32)
         base = m * STRIDE
 
-        carry = (s["dir"], s["begin"], s["end"], s["x0"], s["x1"], s["sz"],
-                 s["active"], s["pend"], s["p_rank"], s["p_ord"],
+        carry = (s["dir"], s["begin"], s["end"], s["pos"], s["sz"],
+                 s["active"], s["pend"], s["p_rank"],
                  jnp.zeros(Q, dtype=jnp.int32),
                  jnp.zeros((Q, STAGE), dtype=jnp.int32),
                  jnp.zeros((Q, STAGE), dtype=jnp.int32),
                  chunk, kchunk, base)
         carry = jax.lax.fori_loop(0, K_INNER, lambda i, c: step(c), carry)
-        (dir_, begin, end, x0, x1, sz, active, pend, p_rank, p_ord, nstage,
+        (dir_, begin, end, pos, sz, active, pend, p_rank, nstage,
          stage_qs, stage_l, _, _, _) = carry
 
         # merge the staged emissions (in order) into the output buffers
@@ -297,8 +322,8 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         overflow = s["overflow"] | (nsfs + nstage > cap)
         nsfs = jnp.minimum(nsfs + nstage, cap)
         return dict(it=s["it"] + K_INNER, dir=dir_, begin=begin, end=end,
-                    x0=x0, x1=x1, sz=sz, active=active, pend=pend,
-                    p_rank=p_rank, p_ord=p_ord, nsfs=nsfs,
+                    pos=pos, sz=sz, active=active, pend=pend,
+                    p_rank=p_rank, nsfs=nsfs,
                     out_qs=out_qs, out_l=out_l, overflow=overflow)
 
     final = jax.lax.while_loop(cond, body, state)
