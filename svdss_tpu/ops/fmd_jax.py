@@ -261,6 +261,19 @@ def _combine(index: DeviceFMDIndex, x0, x1, is_back, c_sel,
     return x0_n, x1_n, sz_n
 
 
+def _nibble_mask_lt(bound: jax.Array, w_iota: jax.Array) -> jax.Array:
+    """[Q] bounds -> [Q, 32] masks with bit (8 << 4j) of word w set iff
+    position 32*j + w < bound (bound in [0, 256])."""
+    k = bound >> 5                       # whole nibble planes covered
+    r = bound & 31
+    k7 = jnp.minimum(k, 7)
+    full = jnp.where(k >= 8, jnp.int32(-1),
+                     (jnp.int32(1) << (4 * k7)) - 1) & jnp.int32(-0x77777778)
+    partial = jnp.where(k >= 8, 0, jnp.int32(8) << (4 * k7))
+    return full[:, None] | jnp.where(w_iota < r[:, None],
+                                     partial[:, None], 0)
+
+
 def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
                      p_rank):
     """One uniform hot-loop step of RANK-SIDE interval extension: exactly
@@ -300,22 +313,33 @@ def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
     m_a = jnp.where(pend, hi & (DEV_BLOCK - 1), off_lo)
     m_hi = jnp.minimum(off_hi, SPAN)
 
-    occ, sym = _unpack_rows(index.fused[blk])         # ONE Q-row gather
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
-    eq = sym == c_sel[:, None]
-    half = DEV_BLOCK
+    rows = index.fused[blk]                           # ONE Q-row gather
+    occ = rows[:, :OCC_COLS]
+    words = rows[:, OCC_COLS:]                        # [Q, 32] nibble words
+    # bit-parallel nibble equality on the packed words (position
+    # p = 32 * nibble + word, interleaved packing): sym and c are <= 5,
+    # so nibbles of x = word ^ (c * 0x11111111) are <= 7, and adding
+    # 0x77777777 raises exactly the non-zero nibbles' high bits —
+    # ~(x + 0x7..7) & 0x8..8 marks matching positions with one bit each.
+    # Counting is then popcount of the bit-AND with per-lane range masks;
+    # ~3x fewer VPU ops than one compare per nibble plane.
+    x = words ^ (c_sel[:, None] * jnp.int32(0x11111111))
+    zm = ~(x + jnp.int32(0x77777777)) & jnp.int32(-0x77777778)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BWT_WORDS), 1)
+    mask_a = _nibble_mask_lt(m_a, w_iota)
+    mask_lo = _nibble_mask_lt(off_lo, w_iota)
+    mask_hi = _nibble_mask_lt(m_hi, w_iota)
+    anchor_bits = zm & mask_a
+    cnt_bits = zm & mask_hi & ~mask_lo
+    popc = jax.lax.population_count
     # the occ-checkpoint column select rides the anchor reduce (a [Q, 8]
     # one-hot + its own reduce wastes 120 of 128 VPU lanes; appended to
-    # the 128-wide sum it is free)
+    # the 32-wide sum it is free)
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     occ_sel = jnp.where(iota8 == c_sel[:, None], occ[:, :8], 0)
-    avec = jnp.concatenate(
-        [occ_sel,
-         (eq[:, :half] & (iota[:, :half] < m_a[:, None])).astype(jnp.int32)],
-        axis=1)
-    anchor = jnp.sum(avec, axis=1, dtype=jnp.int32)
-    cnt = jnp.sum(eq & (iota >= off_lo[:, None]) & (iota < m_hi[:, None]),
-                  axis=1, dtype=jnp.int32)
+    anchor = jnp.sum(jnp.concatenate([occ_sel, popc(anchor_bits)], axis=1),
+                     axis=1, dtype=jnp.int32)
+    cnt = jnp.sum(popc(cnt_bits), axis=1, dtype=jnp.int32)
 
     rank_lo = jnp.where(pend, p_rank, anchor)
     sz_n = jnp.where(pend, anchor - p_rank, cnt)

@@ -44,10 +44,11 @@ import jax.numpy as jnp
 
 from .fmd_jax import DeviceFMDIndex, comp6, extend_rank_step, lookup_C
 
-CHUNK = 128      # per-lane cached window of the read
-STRIDE = 64      # chunk base granularity
-K_INNER = 24     # steps per chunk refresh (margin: 32 >= 24 + transitions)
-STAGE = 12       # emission staging slots (>= K_INNER / 2)
+CHUNK = 256      # per-lane cached window of the read
+STRIDE = 128     # chunk base granularity
+K_INNER = 48     # steps per chunk refresh (margin: 64 >= 48 + transitions)
+STAGE = 24       # emission staging slots (>= K_INNER / 2)
+_LOG_STRIDE = 7  # log2(STRIDE)
 
 
 class PingPongResult(NamedTuple):
@@ -286,7 +287,8 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         # refresh each lane's chunk around its cursor
         cursor = jnp.clip(jnp.where(s["dir"] == 0, s["begin"], s["end"] + 1),
                           0, Lp1 - 1)
-        m = jnp.clip((cursor - STRIDE // 2) >> 6, 0, n_windows - 1)
+        m = jnp.clip((cursor - STRIDE // 2) >> _LOG_STRIDE, 0,
+                     n_windows - 1)
         ci = _chunk_index(m, n_even)
         chunk = jnp.take_along_axis(
             chunks, ci[:, None, None], axis=1)[:, 0]
