@@ -2,32 +2,33 @@
 
 The reference performs one `rb3_fmd_extend` per base per read on the CPU
 (ping_pong.cpp:20,35 — ~12 rank queries into a run-length-encoded rope).
-Here the index lives in device memory as FLAT 1-D tables (see
-DeviceFMDIndex):
+Here the index lives in HBM as ONE fused table sized for vectorized
+lockstep queries — the layout is driven by the measured cost model of XLA's
+TPU gather, which is dominated by the *number of gathered rows* (~11ns/row)
+rather than row bytes:
 
-  ``flat``  int32[(nblk+1)*16] — 4-bit sequentially packed BWT, 16 words
-            per 128-symbol block (0.5 B/sym)
-  ``occ1d`` int32[6*nblk] — occ checkpoints per symbol: count of symbol c
-            in BWT[0 : 128*b] at occ1d[c*nblk + b]
-  ``ord1d`` int32[6*nblk] — complement-order prefix checkpoints ($, T, G,
-            C, A, N; SURVEY.md §3.3), cold paths only
-  ``C``     int32[8] — cumulative symbol counts.
-
-Layout rationale (all measured on a v5e): XLA's layout assignment flips
-2-D gather operands past a few MB to column-major, which lowers a row
-gather to one strided read PER COLUMN ELEMENT (~0.9ns each — 48-column
-rows cost ~44ns/row). A 1-D operand has no layout freedom, and a batched
-`dynamic_slice` of 32 contiguous words (128B, covering a 256-symbol span)
-lowers to one contiguous burst per lane (~0.2ns per word). occ values fit
-int32 because they are PER-SYMBOL counts (max ~1.7e9 for a two-strand
-human genome), even when the text itself exceeds 2^31 symbols.
+  ``fused`` int32[nblk, 48] — one 192-byte row per 128-symbol block, each
+  row SPANNING 256 symbols (rows overlap; stride 128):
+      cols  0..5  : occ checkpoint — count of each nt6 symbol in
+                    BWT[0 : 128*b]
+      cols  8..13 : order-prefix checkpoint — count of symbols whose
+                    complement-order position ($, T, G, C, A, N;
+                    SURVEY.md §3.3) is < k, precomputed so the cumulative
+                    coordinate of an FMD extension needs no per-symbol
+                    loop on device
+      cols 16..47 : BWT[128*b : 128*b + 256], 8 nibbles per int32 word
+  ``C`` int32[8] — cumulative symbol counts.
 
 An extension needs ranks at both interval endpoints (lo, hi = lo + sz).
-Because each gathered slab spans 256 symbols from the block start, both
-endpoints resolve from the *one* slab at lo whenever sz <= 128 — every
-step except the first ~log4(n/128) after a phase start (and repeat-heavy
-k-mers). Wide lanes stretch an extension over two uniform steps
-(extend_rank_step) rather than branching.
+Because each row spans 256 symbols, both endpoints resolve from the *one*
+row at lo whenever sz <= 128 — which is every step except the first
+~log4(n/128) after a phase start (and repeat-heavy k-mers). Gather cost is
+row-count-bound (~11ns/row regardless of 192 vs 384 bytes, measured), so
+the overlapping span halves hot-loop gather rows at identical memory
+(1.5 B/sym). Far lanes (sz > 128) take a second gather at hi, guarded by a
+`lax.cond` so near-only steps skip it entirely. Everything is int32 (index
+text < 2^31 symbols; larger genomes shard by chromosome groups across
+devices).
 """
 
 from __future__ import annotations
@@ -45,14 +46,18 @@ from ..index.fmd import FMDIndex
 _ORD_NP = np.array([0, 4, 3, 2, 1, 5], dtype=np.int32)
 _CUM_ORDER = (0, 4, 3, 2, 1, 5)
 
-# checkpoint stride: one occ checkpoint per 128 symbols; the hot gather
-# slab covers 2 blocks (256 symbols, 128B). Total 0.88 B/sym — a
-# whole-genome GRCh38 two-strand index (~6.2G symbols) is ~5.5GB.
+# device block stride: one fused row per 128 symbols, each row spanning
+# 256 symbols (see module docstring). 192-byte rows, 1.5 bytes/symbol: a
+# whole-genome GRCh38 two-strand index (~6.2G symbols) fits one v5e HBM
+# (~9.3GB). 64-symbol rows measured only ~3% faster (gathers are
+# row-count-bound) at twice the memory.
 DEV_BLOCK = 128
 SPAN = 2 * DEV_BLOCK
 _LOG_BLOCK = int(np.log2(DEV_BLOCK))
 assert (1 << _LOG_BLOCK) == DEV_BLOCK
-BLK_WORDS = DEV_BLOCK // 8       # 4-bit packed symbols, 16 words/block
+OCC_COLS = 16
+BWT_WORDS = SPAN // 8            # 4-bit packed symbols
+ROW_WORDS = OCC_COLS + BWT_WORDS
 
 
 def comp6(c: jax.Array) -> jax.Array:
@@ -65,21 +70,11 @@ def ord6(c: jax.Array) -> jax.Array:
     return jnp.where(c == 0, 0, jnp.where(c == 5, 5, 5 - c))
 
 
-def _tables_from_host(idx: FMDIndex, nblk_pad: int):
-    """Build the flat device tables in bounded-memory chunks.
-
-    Returns (flat, occ1d, ord1d):
-      flat  int32[(nblk_pad + 1) * 16] — 4-bit sequentially packed BWT,
-            16 words per 128-symbol block, position p in word p >> 3,
-            nibble p & 7
-      occ1d int32[6 * nblk_pad] — occ1d[c * nblk_pad + b] = count of
-            symbol c in BWT[0 : 128 * b]
-      ord1d int32[6 * nblk_pad] — same for the complement-order prefix
-            (count of symbols with ord < k), used by the bi-interval
-            cold paths (jump table, tests)
-    """
+def _fused_from_host(idx: FMDIndex) -> np.ndarray:
+    """Build the fused device table in bounded-memory chunks."""
     nblk = idx.n // DEV_BLOCK + 1
-    flat = np.zeros((nblk_pad + 1) * BLK_WORDS, dtype=np.int32)
+    out = np.zeros((nblk, ROW_WORDS), dtype=np.int32)
+    # one extra zero block so every row's 256-symbol span is in bounds
     sym_all = np.zeros((nblk + 1) * DEV_BLOCK, dtype=np.uint8)
     sym_all[: idx.n] = idx.bwt
     blocks = sym_all.reshape(nblk + 1, DEV_BLOCK)
@@ -90,79 +85,76 @@ def _tables_from_host(idx: FMDIndex, nblk_pad: int):
         stop = min(start + chunk, nblk)
         for c in range(6):
             per_block[start:stop, c] = (blocks[start:stop] == c).sum(axis=1)
-        words = (blocks[start:stop].reshape(stop - start, BLK_WORDS, 8)
-                 .astype(np.int64) << shifts[None, None, :]).sum(axis=2)
-        flat[start * BLK_WORDS:stop * BLK_WORDS] = (
-            words.astype(np.int32).reshape(-1))
+        span = np.concatenate([blocks[start:stop],
+                               blocks[start + 1:stop + 1]], axis=1)
+        # interleaved packing: position p lives in word p % 32, nibble
+        # p // 32, so the device unpack is tile(words, 8) >> shifts with
+        # column == position — no cross-lane relayout (a sequential
+        # packing costs a [Q, 32] layout-change copy every step)
+        words = (span.reshape(stop - start, 8, BWT_WORDS).astype(np.int64)
+                 << shifts[None, :, None]).sum(axis=1)
+        out[start:stop, OCC_COLS:] = words.astype(np.int32)
     occ6 = np.zeros((nblk, 6), dtype=np.int64)
     occ6[1:] = np.cumsum(per_block, axis=0)[:-1]
-    assert occ6.max() < 2**31, \
-        "per-symbol occurrence count exceeds int32 (shard the index)"
-    occ1d = np.zeros(6 * nblk_pad, dtype=np.int32)
-    ord1d = np.zeros(6 * nblk_pad, dtype=np.int32)
-    for c in range(6):
-        occ1d[c * nblk_pad:c * nblk_pad + nblk] = occ6[:, c]
+    assert occ6.max() < 2**31
+    out[:, :6] = occ6
     for k in range(6):
         sel = [c for c in range(6) if _ORD_NP[c] < k]
         if sel:
-            ord1d[k * nblk_pad:k * nblk_pad + nblk] = occ6[:, sel].sum(axis=1)
-    return flat, occ1d, ord1d
+            out[:, 8 + k] = occ6[:, sel].sum(axis=1)
+    return out
 
 
 class DeviceFMDIndex(NamedTuple):
-    """FMD index resident in device memory (HBM/VMEM).
-
-    Flat 1-D tables (no 2-D layout freedom: XLA's layout assignment
-    otherwise flips multi-MB gather operands column-major, turning row
-    fetches into per-element strided walks — measured ~0.9ns per column
-    element vs ~0.2ns for contiguous dynamic-slice rows)."""
-    flat: jax.Array        # [(nblk+1) * 16] int32 packed BWT (see above)
-    occ1d: jax.Array       # [6 * nblk] int32 occ checkpoints
-    ord1d: jax.Array       # [6 * nblk] int32 order-prefix checkpoints
+    """FMD index resident in device memory (HBM)."""
+    fused: jax.Array       # [nblk, 48] int32 (see module docstring)
     C: jax.Array           # [8] int32 cumulative symbol counts
-
-    @property
-    def nblk(self) -> int:
-        return self.occ1d.shape[0] // 6
 
     @classmethod
     def from_host(cls, idx: FMDIndex) -> "DeviceFMDIndex":
         assert idx.n < 2**31, "single-shard index limited to 2^31 symbols"
-        # pad the block count to a geometric grid (8 steps per octave,
+        fused = _fused_from_host(idx)
+        # pad the row count to a geometric grid (8 steps per octave,
         # <=12.5% waste) so kernels compiled for one genome size are
         # cache hits for similar ones — the jit signature includes this
         # shape, and a whole-genome search compile is minutes
-        nblk = idx.n // DEV_BLOCK + 1
+        nblk = fused.shape[0]
         gran = max(1 << 12, 1 << (max(nblk.bit_length() - 4, 0)))
-        nblk_pad = ((nblk + gran - 1) // gran) * gran
-        flat, occ1d, ord1d = _tables_from_host(idx, nblk_pad)
+        padded = ((nblk + gran - 1) // gran) * gran
+        if padded > nblk:
+            fused = np.concatenate(
+                [fused, np.zeros((padded - nblk, fused.shape[1]),
+                                 dtype=fused.dtype)])
         return cls(
-            flat=jnp.asarray(flat),
-            occ1d=jnp.asarray(occ1d),
-            ord1d=jnp.asarray(ord1d),
+            fused=jnp.asarray(fused),
             C=jnp.asarray(idx.C.astype(np.int32)),
         )
 
     @property
     def nbytes(self) -> int:
-        return (self.flat.size + self.occ1d.size + self.ord1d.size
-                + self.C.size) * 4
+        return self.fused.size * 4 + self.C.size * 4
 
 
-def _slab(index: DeviceFMDIndex, blk: jax.Array) -> jax.Array:
-    """[Q] block ids -> [Q, 32] packed words covering 256 symbols from
-    each block's start (one contiguous 128B dynamic-slice per lane)."""
-    return jax.vmap(
-        lambda b: jax.lax.dynamic_slice(index.flat, (b * BLK_WORDS,),
-                                        (2 * BLK_WORDS,)))(blk)
+def _unpack_rows(rows: jax.Array):
+    """[R, 48] fused rows -> (occ [R, 16], sym [R, 256] int32).
+
+    Interleaved nibbles (see _fused_from_host): column c of the unpacked
+    symbols is BWT position c, via lane-dim tiling of the 32 words."""
+    occ = rows[:, :OCC_COLS]
+    words = rows[:, OCC_COLS:]
+    rep = jnp.tile(words, (1, 8))
+    shifts = (jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
+              // BWT_WORDS) * 4
+    return occ, (rep >> shifts) & 0xF
 
 
-def _unpack_slab(slab: jax.Array) -> jax.Array:
-    """[Q, 32] packed words -> [Q, 256] symbols (cold paths only)."""
-    q = slab.shape[0]
-    shifts = jnp.arange(8, dtype=jnp.int32) * 4
-    sym = (slab[:, :, None] >> shifts[None, None, :]) & 0xF
-    return sym.reshape(q, SPAN)
+def _select_col(mat: jax.Array, col: jax.Array, width: int) -> jax.Array:
+    """Per-row column select via one-hot (cheap for small widths; avoids
+    XLA's slow per-row gather)."""
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+              == col[:, None])
+    return jnp.sum(jnp.where(onehot, mat[:, :width], 0), axis=1,
+                   dtype=mat.dtype)
 
 
 def rank6(index: DeviceFMDIndex, pos: jax.Array) -> jax.Array:
@@ -173,14 +165,12 @@ def rank6(index: DeviceFMDIndex, pos: jax.Array) -> jax.Array:
     """
     blk = pos >> _LOG_BLOCK
     off = pos & (DEV_BLOCK - 1)
-    sym = _unpack_slab(_slab(index, blk))
-    nblk = index.nblk
-    occ = jnp.stack([index.occ1d[c * nblk + blk] for c in range(6)], axis=1)
+    occ, sym = _unpack_rows(index.fused[blk])
     in_range = jax.lax.broadcasted_iota(
         jnp.int32, (1, SPAN), 1) < off[:, None]
     eq = sym[:, :, None] == jnp.arange(6, dtype=jnp.int32)[None, None, :]
     cnt = jnp.sum(eq & in_range[:, :, None], axis=1, dtype=jnp.int32)
-    return occ + cnt
+    return occ[:, :6] + cnt
 
 
 def lookup_C(index: DeviceFMDIndex, c: jax.Array) -> jax.Array:
@@ -248,17 +238,15 @@ def extend_select(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel, do):
 
 
 def _gathered_rank(index: DeviceFMDIndex, blk, off, c_sel, o_sel):
-    """Gather symbol slabs at blk; rank/ord counts of c_sel over
-    BWT[0 : 128*blk + off] (off in [0, 256]). Cold path (jump builder)."""
-    sym = _unpack_slab(_slab(index, blk))
-    nblk = index.nblk
+    """Gather span rows at blk; rank/ord counts of c_sel over
+    BWT[0 : 128*blk + off] (off in [0, 256])."""
+    occ, sym = _unpack_rows(index.fused[blk])
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
     m = iota < off[:, None]
     rank = (jnp.sum((sym == c_sel[:, None]) & m, axis=1, dtype=jnp.int32)
-            + index.occ1d[jnp.clip(c_sel, 0, 5) * nblk + blk])
+            + _select_col(occ, c_sel, 8))
     ordr = (jnp.sum((ord6(sym) < o_sel[:, None]) & m, axis=1,
-                    dtype=jnp.int32)
-            + index.ord1d[jnp.clip(o_sel, 0, 5) * nblk + blk])
+                    dtype=jnp.int32) + _select_col(occ[:, 8:], o_sel, 8))
     return rank, ordr
 
 
@@ -274,14 +262,16 @@ def _combine(index: DeviceFMDIndex, x0, x1, is_back, c_sel,
 
 
 def _nibble_mask_lt(bound: jax.Array, w_iota: jax.Array) -> jax.Array:
-    """[Q] bounds -> [Q, W] masks with bit (8 << 4j) of word w set iff
-    position 8*w + j < bound (sequential packing; bound in [0, 8*W])."""
-    mw = bound >> 3                      # first partially-covered word
-    r = bound & 7
-    hib = jnp.int32(-0x77777778)         # 0x88888888
-    partial = ((jnp.int32(1) << (4 * r)) - 1) & hib
-    return jnp.where(w_iota < mw[:, None], hib,
-                     jnp.where(w_iota == mw[:, None], partial[:, None], 0))
+    """[Q] bounds -> [Q, 32] masks with bit (8 << 4j) of word w set iff
+    position 32*j + w < bound (bound in [0, 256])."""
+    k = bound >> 5                       # whole nibble planes covered
+    r = bound & 31
+    k7 = jnp.minimum(k, 7)
+    full = jnp.where(k >= 8, jnp.int32(-1),
+                     (jnp.int32(1) << (4 * k7)) - 1) & jnp.int32(-0x77777778)
+    partial = jnp.where(k >= 8, 0, jnp.int32(8) << (4 * k7))
+    return full[:, None] | jnp.where(w_iota < r[:, None],
+                                     partial[:, None], 0)
 
 
 def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
@@ -323,12 +313,11 @@ def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
     m_a = jnp.where(pend, hi & (DEV_BLOCK - 1), off_lo)
     m_hi = jnp.minimum(off_hi, SPAN)
 
-    # ONE contiguous 128B dynamic-slice per lane (the 1-D table has no
-    # layout freedom — see DeviceFMDIndex) + one occ element gather.
-    words = _slab(index, blk)                         # [Q, 32] nibble words
-    occ_c = index.occ1d[c_sel * index.nblk + blk]
+    rows = index.fused[blk]                           # ONE Q-row gather
+    occ = rows[:, :OCC_COLS]
+    words = rows[:, OCC_COLS:]                        # [Q, 32] nibble words
     # bit-parallel nibble equality on the packed words (position
-    # p = 8 * word + nibble, sequential packing): sym and c are <= 5,
+    # p = 32 * nibble + word, interleaved packing): sym and c are <= 5,
     # so nibbles of x = word ^ (c * 0x11111111) are <= 7, and adding
     # 0x77777777 raises exactly the non-zero nibbles' high bits —
     # ~(x + 0x7..7) & 0x8..8 marks matching positions with one bit each.
@@ -336,15 +325,21 @@ def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
     # ~3x fewer VPU ops than one compare per nibble plane.
     x = words ^ (c_sel[:, None] * jnp.int32(0x11111111))
     zm = ~(x + jnp.int32(0x77777777)) & jnp.int32(-0x77777778)
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * BLK_WORDS), 1)
-    half = BLK_WORDS                                  # anchor bound < 128
-    mask_a = _nibble_mask_lt(m_a, w_iota[:, :half])
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, BWT_WORDS), 1)
+    mask_a = _nibble_mask_lt(m_a, w_iota)
     mask_lo = _nibble_mask_lt(off_lo, w_iota)
     mask_hi = _nibble_mask_lt(m_hi, w_iota)
+    anchor_bits = zm & mask_a
+    cnt_bits = zm & mask_hi & ~mask_lo
     popc = jax.lax.population_count
-    anchor = jnp.sum(popc(zm[:, :half] & mask_a), axis=1,
-                     dtype=jnp.int32) + occ_c
-    cnt = jnp.sum(popc(zm & mask_hi & ~mask_lo), axis=1, dtype=jnp.int32)
+    # the occ-checkpoint column select rides the anchor reduce (a [Q, 8]
+    # one-hot + its own reduce wastes 120 of 128 VPU lanes; appended to
+    # the 32-wide sum it is free)
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    occ_sel = jnp.where(iota8 == c_sel[:, None], occ[:, :8], 0)
+    anchor = jnp.sum(jnp.concatenate([occ_sel, popc(anchor_bits)], axis=1),
+                     axis=1, dtype=jnp.int32)
+    cnt = jnp.sum(popc(cnt_bits), axis=1, dtype=jnp.int32)
 
     rank_lo = jnp.where(pend, p_rank, anchor)
     sz_n = jnp.where(pend, anchor - p_rank, cnt)

@@ -42,9 +42,7 @@ def shard_search_inputs(mesh: Mesh, index: DeviceFMDIndex,
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
     index = DeviceFMDIndex(
-        flat=jax.device_put(index.flat, repl),
-        occ1d=jax.device_put(index.occ1d, repl),
-        ord1d=jax.device_put(index.ord1d, repl),
+        fused=jax.device_put(index.fused, repl),
         C=jax.device_put(index.C, repl),
     )
     seqs = jax.device_put(seqs, shard)
