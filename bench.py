@@ -33,55 +33,69 @@ BASELINE_CPU_READS_PER_S = 1500.0
 
 def build_problem(genome_bp: int, n_reads: int, read_len: int, seed: int = 3):
     from svdss_tpu.index.fmd import build_index
-    from svdss_tpu.utils.seq import encode_nt6
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          f".bench_index_{genome_bp}.npz")
     rng = np.random.default_rng(seed)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     genome_arr = bases[rng.integers(0, 4, genome_bp)]
-    genome = {"bench": genome_arr.tobytes().decode()}
     if os.path.exists(cache):
         from svdss_tpu.index.fmd import FMDIndex
         index = FMDIndex.load(cache)
     else:
+        genome = {"bench": genome_arr.tobytes().decode()}
         t0 = time.time()
         index = build_index(genome)
         print(f"[bench] index build: {time.time() - t0:.1f}s "
               f"({index.n} symbols)", file=sys.stderr)
         index.save(cache)
 
-    g = genome["bench"]
+    # nt6 genome (A=1..T=4); reads generated fully vectorized
+    g6 = np.zeros(genome_bp, dtype=np.uint8)
+    for i, b in enumerate(b"ACGT"):
+        g6[genome_arr == b] = i + 1
     reads = np.zeros((n_reads, read_len + 1), dtype=np.uint8)
     lens = np.full(n_reads, read_len, dtype=np.int32)
-    for i in range(n_reads):
-        p = int(rng.integers(0, genome_bp - read_len))
-        read = list(g[p:p + read_len])
-        # SNV errors at 0.2%
-        for j in rng.integers(0, read_len, max(1, int(read_len * 0.002))):
-            read[int(j)] = "ACGT"[int(rng.integers(0, 4))]
-        # 30% of reads carry a 100bp novel insertion (SV evidence)
-        if rng.random() < 0.3:
-            at = int(rng.integers(200, read_len - 200))
-            ins = "".join("ACGT"[k] for k in rng.integers(0, 4, 100))
-            read = read[:at] + list(ins) + read[at:len(read) - 100]
-        reads[i, :read_len] = encode_nt6("".join(read[:read_len]))
+    starts = rng.integers(0, genome_bp - read_len, n_reads)
+    reads[:, :read_len] = g6[starts[:, None] + np.arange(read_len)]
+    # SNV errors at 0.2%
+    n_snv = max(1, int(read_len * 0.002))
+    cols = rng.integers(0, read_len, (n_reads, n_snv))
+    rows = np.repeat(np.arange(n_reads), n_snv)
+    reads[rows, cols.ravel()] = rng.integers(1, 5, n_reads * n_snv)
+    # 30% of reads carry a 100bp novel insertion (SV evidence)
+    ins_rows = np.nonzero(rng.random(n_reads) < 0.3)[0]
+    for i in ins_rows:
+        at = int(rng.integers(200, read_len - 200))
+        ins = rng.integers(1, 5, 100).astype(np.uint8)
+        reads[i, at + 100:read_len] = reads[i, at:read_len - 100].copy()
+        reads[i, at:at + 100] = ins
     return index, reads, lens
 
 
 def main() -> int:
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--genome-bp", type=int, default=1_000_000)
-    ap.add_argument("--reads", type=int, default=4096)
+    ap.add_argument("--genome-bp", type=int,
+                    default=int(os.environ.get("SVDSS_BENCH_GENOME",
+                                               1_000_000)))
+    ap.add_argument("--reads", type=int,
+                    default=int(os.environ.get("SVDSS_BENCH_READS", 4096)))
     ap.add_argument("--read-len", type=int, default=10_000)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--smoke", action="store_true",
+                    help="small fixed shape (256 reads x 2kb, 1Mbp genome), "
+                         "1 iter — fast TPU sanity gate before committing "
+                         "ops/ changes")
     ap.add_argument("--jump-k", dest="jump_k", type=int, default=0,
                     help="k-mer jump table size (0 disables; measured "
                          "net-negative on SFS-dense reads)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (debug; default uses the TPU)")
     args = ap.parse_args()
+    if args.smoke:
+        args.genome_bp, args.reads, args.read_len, args.iters = (
+            1_000_000, 256, 2_000, 1)
 
     from svdss_tpu.utils.device import init_device_runtime
     init_device_runtime()
