@@ -98,6 +98,10 @@ class FMDIndex:
         self.occ = _occ_checkpoints(bwt, nblk, BLOCK)
         self.bwt_words = _pack_nibbles(bwt, nblk)
 
+    def bwt_symbols(self) -> np.ndarray:
+        """The raw BWT as one uint8 symbol per element."""
+        return self.bwt
+
     # -- construction ------------------------------------------------------
 
     @classmethod

@@ -26,9 +26,26 @@ row at lo whenever sz <= 128 — which is every step except the first
 row-count-bound (~11ns/row regardless of 192 vs 384 bytes, measured), so
 the overlapping span halves hot-loop gather rows at identical memory
 (1.5 B/sym). Far lanes (sz > 128) take a second gather at hi, guarded by a
-`lax.cond` so near-only steps skip it entirely. Everything is int32 (index
-text < 2^31 symbols; larger genomes shard by chromosome groups across
-devices).
+`lax.cond` so near-only steps skip it entirely.
+
+Coordinate widths — two static modes selected by index size:
+
+  * **narrow** (n < 2^31): every coordinate/count is a plain int32; this
+    is the layout described above, unchanged.
+  * **wide** (2^31 <= n < 2^36, e.g. a whole human two-strand genome at
+    ~6.2G symbols): coordinates split base-2^31 into (lo, hi) pairs where
+    lo stays a NON-NEGATIVE int32 — so the fused occ+popcount reduce is
+    unchanged and a carry out of the low limb is simply the sign bit of
+    the int32 sum. occ/ord checkpoint high limbs pack 5 bits per symbol
+    into the otherwise-spare fused-row columns 6 and 7, so the row layout
+    and HBM traffic are identical to narrow mode. Interval sizes fit one
+    uint32 (max single-symbol count < 2^32 for any n < 2^33·?; asserted at
+    build) and are carried as raw uint32 bit patterns in int32 lanes with
+    unsigned comparisons where needed. The hi-limb arithmetic adds a
+    handful of [Q] VPU ops per step; gather traffic is unchanged.
+
+TPU int64 support is emulated and slow, which is why wide mode splits
+limbs instead of enabling x64.
 """
 
 from __future__ import annotations
@@ -60,6 +77,31 @@ BWT_WORDS = SPAN // 8            # 4-bit packed symbols
 ROW_WORDS = OCC_COLS + BWT_WORDS
 
 
+# Wide-mode limb width: coordinates split base-2^LIMB_BITS with the low
+# limb held non-negative in an int32, so a carry out of a low-limb sum is
+# just bit LIMB_BITS (the sign bit at the production width of 31). Tests
+# shrink LIMB_BITS (and rebuild indexes + clear jit caches) so limb-carry
+# paths run on small genomes; functions read the module global at trace
+# time.
+LIMB_BITS = 31
+_SIGN = jnp.int32(-2**31)  # sign bit, for unsigned comparisons
+
+
+def _lo_mask() -> int:
+    return (1 << LIMB_BITS) - 1
+
+
+def _carry(x: jax.Array) -> jax.Array:
+    """Carry out of a low-limb sum (sum of two values < 2^LIMB_BITS, or one
+    such value plus <= 2^LIMB_BITS-worth of popcounts): bit LIMB_BITS."""
+    return jax.lax.shift_right_logical(x, LIMB_BITS)
+
+
+def _ult(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Unsigned a < b on int32 bit patterns."""
+    return (a ^ _SIGN) < (b ^ _SIGN)
+
+
 def comp6(c: jax.Array) -> jax.Array:
     """fm6 complement, arithmetic form (no table gather)."""
     return jnp.where((c >= 1) & (c <= 4), 5 - c, c)
@@ -70,13 +112,17 @@ def ord6(c: jax.Array) -> jax.Array:
     return jnp.where(c == 0, 0, jnp.where(c == 5, 5, 5 - c))
 
 
-def _fused_from_host(idx: FMDIndex) -> np.ndarray:
-    """Build the fused device table in bounded-memory chunks."""
+def _fused_from_host(idx: FMDIndex, wide: bool = False) -> np.ndarray:
+    """Build the fused device table in bounded-memory chunks.
+
+    wide=True stores checkpoint counts base-2^31: low limbs in the usual
+    columns (0..5 occ, 8..13 ord-prefix), high limbs packed 5 bits per
+    symbol into columns 6 (occ) and 7 (ord)."""
     nblk = idx.n // DEV_BLOCK + 1
     out = np.zeros((nblk, ROW_WORDS), dtype=np.int32)
     # one extra zero block so every row's 256-symbol span is in bounds
     sym_all = np.zeros((nblk + 1) * DEV_BLOCK, dtype=np.uint8)
-    sym_all[: idx.n] = idx.bwt
+    sym_all[: idx.n] = idx.bwt_symbols()
     blocks = sym_all.reshape(nblk + 1, DEV_BLOCK)
     per_block = np.zeros((nblk, 6), dtype=np.int64)
     shifts = np.arange(8, dtype=np.int64) * 4
@@ -96,24 +142,47 @@ def _fused_from_host(idx: FMDIndex) -> np.ndarray:
         out[start:stop, OCC_COLS:] = words.astype(np.int32)
     occ6 = np.zeros((nblk, 6), dtype=np.int64)
     occ6[1:] = np.cumsum(per_block, axis=0)[:-1]
-    assert occ6.max() < 2**31
-    out[:, :6] = occ6
+    ord6_pre = np.zeros((nblk, 6), dtype=np.int64)
     for k in range(6):
         sel = [c for c in range(6) if _ORD_NP[c] < k]
         if sel:
-            out[:, 8 + k] = occ6[:, sel].sum(axis=1)
+            ord6_pre[:, k] = occ6[:, sel].sum(axis=1)
+    if wide:
+        assert occ6.max() < 2**(LIMB_BITS + 5), \
+            "wide mode limited to 5-bit high limbs"
+        out[:, :6] = (occ6 & _lo_mask()).astype(np.int32)
+        out[:, 8:14] = (ord6_pre & _lo_mask()).astype(np.int32)
+        for c in range(6):
+            out[:, 6] |= ((occ6[:, c] >> LIMB_BITS) << (5 * c)).astype(np.int32)
+            out[:, 7] |= ((ord6_pre[:, c] >> LIMB_BITS) << (5 * c)).astype(np.int32)
+    else:
+        assert occ6.max() < 2**31
+        out[:, :6] = occ6
+        out[:, 8:14] = ord6_pre
     return out
 
 
 class DeviceFMDIndex(NamedTuple):
-    """FMD index resident in device memory (HBM)."""
+    """FMD index resident in device memory (HBM).
+
+    ``C_hi is None`` selects narrow (pure-int32) kernels; otherwise C holds
+    the base-2^31 low limbs and C_hi the high limbs (wide mode). The None
+    is part of the pytree structure, so the mode is a static property under
+    jit — narrow indexes compile the exact pre-wide kernels."""
     fused: jax.Array       # [nblk, 48] int32 (see module docstring)
-    C: jax.Array           # [8] int32 cumulative symbol counts
+    C: jax.Array           # [8] int32 cumulative counts (lo limbs if wide)
+    C_hi: jax.Array | None = None   # [8] int32 high limbs (wide mode only)
 
     @classmethod
-    def from_host(cls, idx: FMDIndex) -> "DeviceFMDIndex":
-        assert idx.n < 2**31, "single-shard index limited to 2^31 symbols"
-        fused = _fused_from_host(idx)
+    def from_host(cls, idx: FMDIndex,
+                  force_wide: bool = False) -> "DeviceFMDIndex":
+        wide = force_wide or idx.n >= 2**31
+        assert idx.n < 2**36, "single-shard index limited to 2^36 symbols"
+        if wide:
+            # max interval size = largest single-symbol count pair; must
+            # fit one uint32 lane (see module docstring)
+            assert int(np.diff(idx.C).max()) < 2**32
+        fused = _fused_from_host(idx, wide=wide)
         # pad the row count to a geometric grid (8 steps per octave,
         # <=12.5% waste) so kernels compiled for one genome size are
         # cache hits for similar ones — the jit signature includes this
@@ -125,10 +194,17 @@ class DeviceFMDIndex(NamedTuple):
             fused = np.concatenate(
                 [fused, np.zeros((padded - nblk, fused.shape[1]),
                                  dtype=fused.dtype)])
+        C = idx.C.astype(np.int64)
         return cls(
             fused=jnp.asarray(fused),
-            C=jnp.asarray(idx.C.astype(np.int32)),
+            C=jnp.asarray((C & _lo_mask() if wide else C).astype(np.int32)),
+            C_hi=(jnp.asarray((C >> LIMB_BITS).astype(np.int32))
+                  if wide else None),
         )
+
+    @property
+    def wide(self) -> bool:
+        return self.C_hi is not None
 
     @property
     def nbytes(self) -> int:
@@ -170,17 +246,31 @@ def rank6(index: DeviceFMDIndex, pos: jax.Array) -> jax.Array:
         jnp.int32, (1, SPAN), 1) < off[:, None]
     eq = sym[:, :, None] == jnp.arange(6, dtype=jnp.int32)[None, None, :]
     cnt = jnp.sum(eq & in_range[:, :, None], axis=1, dtype=jnp.int32)
+    if index.wide:
+        # reassemble split limbs (host/test oracle only — pos < 2^31;
+        # counts past int32 range need jax_enable_x64)
+        dt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        his = (occ[:, 6:7] >> (5 * jnp.arange(6, dtype=jnp.int32))) & 31
+        return (occ[:, :6].astype(dt) + (his.astype(dt) << LIMB_BITS) + cnt)
     return occ[:, :6] + cnt
 
 
 def lookup_C(index: DeviceFMDIndex, c: jax.Array) -> jax.Array:
-    """C[c] per lane via a scalar select tree.
+    """C[c] (low limbs in wide mode) per lane via a scalar select tree.
 
     A [Q, 8] one-hot + reduce uses 8 of 128 VPU lanes over Q/8 sublane
     rows (measured 13us/step across the hot loop's handful of lookups at
     Q=4096); seven selects against loop-invariant scalars are ~100x
     cheaper."""
-    C = index.C
+    return _lookup8(index.C, c)
+
+
+def lookup_C_hi(index: DeviceFMDIndex, c: jax.Array) -> jax.Array:
+    """High limbs of C[c] (wide mode)."""
+    return _lookup8(index.C_hi, c)
+
+
+def _lookup8(C: jax.Array, c: jax.Array) -> jax.Array:
     b0 = (c & 1) != 0
     b1 = (c & 2) != 0
     s00 = jnp.where(b0, C[1], C[0])
@@ -194,6 +284,7 @@ def lookup_C(index: DeviceFMDIndex, c: jax.Array) -> jax.Array:
 
 def set_intv(index: DeviceFMDIndex, c: jax.Array):
     """Bi-intervals of single symbols c [Q] (fm6_set_intv, ping_pong.hpp:40)."""
+    assert not index.wide, "set_intv is narrow-only (bi-interval form)"
     x0 = lookup_C(index, c)
     x1 = lookup_C(index, comp6(c))
     sz = lookup_C(index, c + 1) - x0
@@ -224,6 +315,7 @@ def extend_select(index: DeviceFMDIndex, x0, x1, sz, is_back, c_sel, do):
     both endpoints when sz <= 128, and rare wide extensions stretch over
     two uniform steps via a tiny pending state instead of a branch.
     """
+    assert not index.wide, "extend_select is narrow-only (jump tables)"
     lo = jnp.where(is_back, x0, x1)
     lo = jnp.where(do, lo, 0)
     szm = jnp.where(do, sz, 0)
@@ -275,7 +367,7 @@ def _nibble_mask_lt(bound: jax.Array, w_iota: jax.Array) -> jax.Array:
 
 
 def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
-                     p_rank):
+                     p_rank, pos_hi=None, p_rank_hi=None):
     """One uniform hot-loop step of RANK-SIDE interval extension: exactly
     ONE gathered span row per lane, and no complement-order work at all.
 
@@ -298,20 +390,43 @@ def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
     recompute identically — gathers the hi row and completes. Returns
     (pos_n, sz_n, complete, pend_next, p_rank_next); lanes with
     complete=False (step A) must not apply pos/sz nor advance.
+
+    Wide mode (index.wide; pass pos_hi/p_rank_hi): positions and rank
+    anchors are base-2^31 (lo, hi) limb pairs with non-negative int32 low
+    limbs; interval sizes are raw uint32 bit patterns (unsigned compares
+    where they feed offsets). Returns
+    (pos_n, sz_n, complete, pend_next, p_rank_next, pos_n_hi,
+    p_rank_hi_next). The fused anchor reduce is unchanged — a carry out
+    of the low limb is the int32 sign bit.
     """
+    wide = index.wide
+    assert wide == (pos_hi is not None)
     lo = jnp.where(do, pos, 0)
     szm = jnp.where(do, sz, 0)
-    hi = lo + szm
     off_lo = lo & (DEV_BLOCK - 1)
     off_hi = off_lo + szm
-    near = off_hi <= SPAN
-
-    blk = jnp.where(pend, hi >> _LOG_BLOCK, lo >> _LOG_BLOCK)
+    if wide:
+        lo_hi = jnp.where(do, pos_hi, 0)
+        # endpoint = pos + sz; split sz's top bits so both low limbs fit
+        r = lo + (szm & _lo_mask())
+        hi = r & _lo_mask()
+        hi_hi = (lo_hi + jax.lax.shift_right_logical(szm, LIMB_BITS)
+                 + _carry(r))
+        near = ~_ult(jnp.int32(SPAN), off_hi)            # off_hi <=u SPAN
+        m_hi = jnp.where(_ult(jnp.int32(SPAN), off_hi), jnp.int32(SPAN),
+                         off_hi)
+        blk = jnp.where(pend,
+                        (hi >> _LOG_BLOCK) | (hi_hi << (LIMB_BITS - _LOG_BLOCK)),
+                        (lo >> _LOG_BLOCK) | (lo_hi << (LIMB_BITS - _LOG_BLOCK)))
+    else:
+        hi = lo + szm
+        near = off_hi <= SPAN
+        m_hi = jnp.minimum(off_hi, SPAN)
+        blk = jnp.where(pend, hi >> _LOG_BLOCK, lo >> _LOG_BLOCK)
     # anchor count bound: rank at lo normally, rank at hi when completing
     # a wide extension — both offsets are < 128, so the anchor sum only
     # touches the row's first half
     m_a = jnp.where(pend, hi & (DEV_BLOCK - 1), off_lo)
-    m_hi = jnp.minimum(off_hi, SPAN)
 
     rows = index.fused[blk]                           # ONE Q-row gather
     occ = rows[:, :OCC_COLS]
@@ -340,12 +455,29 @@ def extend_rank_step(index: DeviceFMDIndex, pos, sz, c_sel, do, pend,
     anchor = jnp.sum(jnp.concatenate([occ_sel, popc(anchor_bits)], axis=1),
                      axis=1, dtype=jnp.int32)
     cnt = jnp.sum(popc(cnt_bits), axis=1, dtype=jnp.int32)
+    complete = pend | near
+    pend_next = do & ~near & ~pend
+
+    if wide:
+        # low limb < 2^31 and popcount <= 384 => the reduce's sign bit IS
+        # the carry into the high limb
+        anchor_lo = anchor & _lo_mask()
+        anchor_hi = ((occ[:, 6] >> (5 * c_sel)) & 31) + _carry(anchor)
+        rank_lo = jnp.where(pend, p_rank, anchor_lo)
+        rank_hi = jnp.where(pend, p_rank_hi, anchor_hi)
+        # wide-extension size = anchor(hi endpoint) - stashed rank(lo);
+        # true value < 2^32 so the int32 wrap is the right uint32 pattern
+        sz_w = (anchor_lo - p_rank) + ((anchor_hi - p_rank_hi) << LIMB_BITS)
+        sz_n = jnp.where(pend, sz_w, cnt)
+        pr = lookup_C(index, c_sel) + rank_lo
+        pos_n = pr & _lo_mask()
+        pos_n_hi = lookup_C_hi(index, c_sel) + rank_hi + _carry(pr)
+        return (pos_n, sz_n, complete, pend_next, anchor_lo,
+                pos_n_hi, anchor_hi)
 
     rank_lo = jnp.where(pend, p_rank, anchor)
     sz_n = jnp.where(pend, anchor - p_rank, cnt)
     pos_n = lookup_C(index, c_sel) + rank_lo
-    complete = pend | near
-    pend_next = do & ~near & ~pend
     return pos_n, sz_n, complete, pend_next, anchor
 
 

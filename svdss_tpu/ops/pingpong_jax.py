@@ -42,7 +42,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .fmd_jax import DeviceFMDIndex, comp6, extend_rank_step, lookup_C
+from . import fmd_jax
+from .fmd_jax import (DeviceFMDIndex, comp6, extend_rank_step, lookup_C,
+                      lookup_C_hi)
 
 CHUNK = 256      # per-lane cached window of the read
 STRIDE = 128     # chunk base granularity
@@ -132,6 +134,8 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
     Results are bit-identical with or without jumping.
     """
     Q, Lp1 = seqs.shape
+    wide = index.wide
+    assert not (wide and jump_k), "k-mer jump tables are narrow-mode only"
     if max_iters == 0:
         max_iters = 8 * (Lp1 - 1) + 64
     max_outer = (max_iters + K_INNER - 1) // K_INNER
@@ -149,6 +153,10 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
     # side of the bi-interval is never consumed — see extend_rank_step)
     pos_i = lookup_C(index, c0)
     sz_i = lookup_C(index, c0 + 1) - pos_i
+    if wide:
+        pos_hi_i = lookup_C_hi(index, c0)
+        sz_i = sz_i + ((lookup_C_hi(index, c0 + 1) - pos_hi_i)
+                       << fmd_jax.LIMB_BITS)
 
     cap_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
@@ -166,6 +174,9 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         out_l=jnp.zeros((Q, cap), dtype=jnp.int32),
         overflow=jnp.zeros(Q, dtype=bool),
     )
+    if wide:
+        state["pos_hi"] = pos_hi_i
+        state["p_rank_hi"] = jnp.zeros(Q, dtype=jnp.int32)
     stage_iota = jax.lax.broadcasted_iota(jnp.int32, (1, STAGE), 1)
 
     def cond(s):
@@ -173,7 +184,9 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
 
     def step(carry):
         (dir_, begin, end, pos, sz, active, pend, p_rank, nstage,
-         stage_qs, stage_l, chunk, kchunk, base) = carry
+         stage_qs, stage_l, chunk, kchunk, base) = carry[:14]
+        if wide:
+            pos_hi, p_rank_hi = carry[14:]
 
         is_bwd = dir_ == 0
         bwd_can = is_bwd & (sz != 0) & (begin > 0)
@@ -193,8 +206,13 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         # ops/pingpong_host.py docstring) — complete immediately, the
         # half-done interval coords are never read once sz == 0
         sent = (~is_bwd) & (c_acc == 0)
-        (posn, szn, complete, pend, p_rank) = extend_rank_step(
-            index, pos, sz, c_sel, do_ext & ~sent, pend, p_rank)
+        if wide:
+            (posn, szn, complete, pend, p_rank, posn_hi, p_rank_hi) = \
+                extend_rank_step(index, pos, sz, c_sel, do_ext & ~sent,
+                                 pend, p_rank, pos_hi, p_rank_hi)
+        else:
+            (posn, szn, complete, pend, p_rank) = extend_rank_step(
+                index, pos, sz, c_sel, do_ext & ~sent, pend, p_rank)
         szn = jnp.where(sent, 0, szn)
         complete = complete | sent
         do_apply = do_ext & complete
@@ -207,6 +225,8 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         begin1 = jnp.where(upd_b, begin - 1, begin)
         end1 = jnp.where(upd_f, end + 1, end)
         pos = jnp.where(do_apply, posn, pos)
+        if wide:
+            pos_hi = jnp.where(do_apply, posn_hi, pos_hi)
         sz1 = jnp.where(do_apply, szn, sz)
 
         # backward exit: whole-prefix match terminates, else switch to FWD
@@ -236,6 +256,10 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         post_t = lookup_C(index, post)
         c_lo = lookup_C(index, c_acc)
         szt = lookup_C(index, c_acc + 1) - c_lo
+        if wide:
+            post_t_hi = lookup_C_hi(index, post)
+            szt = szt + ((lookup_C_hi(index, c_acc + 1)
+                          - lookup_C_hi(index, c_acc)) << fmd_jax.LIMB_BITS)
 
         do_jump_b = jnp.zeros_like(restart)
         do_jump_f = jnp.zeros_like(restart)
@@ -280,8 +304,12 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         sz1 = jnp.where(trans, szt, sz1)
         active = active & ~(prefix_match | emit_done)
 
-        return (dir_, begin1, end1, pos, sz1, active, pend, p_rank,
-                nstage, stage_qs, stage_l, chunk, kchunk, base)
+        out = (dir_, begin1, end1, pos, sz1, active, pend, p_rank,
+               nstage, stage_qs, stage_l, chunk, kchunk, base)
+        if wide:
+            pos_hi = jnp.where(trans, post_t_hi, pos_hi)
+            out = out + (pos_hi, p_rank_hi)
+        return out
 
     def body(s):
         # refresh each lane's chunk around its cursor
@@ -305,9 +333,11 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
                  jnp.zeros((Q, STAGE), dtype=jnp.int32),
                  jnp.zeros((Q, STAGE), dtype=jnp.int32),
                  chunk, kchunk, base)
+        if wide:
+            carry = carry + (s["pos_hi"], s["p_rank_hi"])
         carry = jax.lax.fori_loop(0, K_INNER, lambda i, c: step(c), carry)
         (dir_, begin, end, pos, sz, active, pend, p_rank, nstage,
-         stage_qs, stage_l, _, _, _) = carry
+         stage_qs, stage_l, _, _, _) = carry[:14]
 
         # merge the staged emissions (in order) into the output buffers
         nsfs = s["nsfs"]
@@ -323,10 +353,13 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         out_l = jnp.where(m, vl, s["out_l"])
         overflow = s["overflow"] | (nsfs + nstage > cap)
         nsfs = jnp.minimum(nsfs + nstage, cap)
-        return dict(it=s["it"] + K_INNER, dir=dir_, begin=begin, end=end,
-                    pos=pos, sz=sz, active=active, pend=pend,
-                    p_rank=p_rank, nsfs=nsfs,
-                    out_qs=out_qs, out_l=out_l, overflow=overflow)
+        ns = dict(it=s["it"] + K_INNER, dir=dir_, begin=begin, end=end,
+                  pos=pos, sz=sz, active=active, pend=pend,
+                  p_rank=p_rank, nsfs=nsfs,
+                  out_qs=out_qs, out_l=out_l, overflow=overflow)
+        if wide:
+            ns["pos_hi"], ns["p_rank_hi"] = carry[14], carry[15]
+        return ns
 
     final = jax.lax.while_loop(cond, body, state)
     return PingPongResult(qs=final["out_qs"], length=final["out_l"],
