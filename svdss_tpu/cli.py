@@ -60,7 +60,7 @@ def cmd_index(args) -> int:
     chroms = load_chromosomes(args.reference)
     logger.info("index: %d sequences, %d bp total", len(chroms),
                 sum(len(s) for s in chroms.values()))
-    idx = build_index(chroms)
+    idx = build_index(chroms, threads=getattr(args, "threads", 1) or 1)
     idx.save(args.index)
     logger.info("index: %d BWT symbols -> %s", idx.n, args.index)
     return 0
@@ -153,7 +153,7 @@ def cmd_run(args) -> int:
         index = FMDIndex.load(index_path)
     else:
         t0 = _time.time()
-        index = build_index(chroms)
+        index = build_index(chroms, threads=cfg.threads)
         index.save(index_path + ".tmp")
         os.replace(index_path + ".tmp.npz", index_path)
         logger.info("run: index built in %.1fs (%d symbols)",

@@ -54,7 +54,10 @@ class BiInterval:
 
 def _occ_checkpoints(bwt: np.ndarray, nblk: int, block: int,
                      chunk_blocks: int = 1 << 17) -> np.ndarray:
-    """Per-block symbol-count checkpoints, O(chunk) extra memory."""
+    """Per-block symbol-count checkpoints, O(chunk) extra memory.
+
+    int32 while counts fit (halves memory for sub-2^31 indexes), int64
+    past that (whole-genome scale)."""
     n = len(bwt)
     per_block = np.zeros((nblk, 8), dtype=np.int64)
     padded = np.zeros(nblk * block, dtype=np.uint8)
@@ -69,24 +72,37 @@ def _occ_checkpoints(bwt: np.ndarray, nblk: int, block: int,
         per_block[-1, 0] -= nblk * block - n
     occ = np.zeros((nblk, 8), dtype=np.int64)
     occ[1:] = np.cumsum(per_block, axis=0)[:-1]
-    assert occ.max() < 2**31
-    return occ.astype(np.int32)
+    if occ.max() < 2**31:
+        return occ.astype(np.int32)
+    return occ
 
 
-def _pack_nibbles(bwt: np.ndarray, nblk: int) -> np.ndarray:
-    padded = np.zeros(nblk * BLOCK, dtype=np.uint32)
-    padded[: len(bwt)] = bwt
-    padded = padded.reshape(nblk, BLOCK // 8, 8)
+def _pack_nibbles(bwt: np.ndarray, nblk: int,
+                  chunk_blocks: int = 1 << 17) -> np.ndarray:
+    """4-bit-pack the BWT, chunked (the uint32 staging is 4 bytes/symbol)."""
+    out = np.empty((nblk, WORDS), dtype=np.int32)
     shifts = np.arange(8, dtype=np.uint32) * 4
-    words = (padded << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
-    return words.astype(np.int32)  # bit-identical reinterpret for <2^31 values
+    n = len(bwt)
+    for s in range(0, nblk, chunk_blocks):
+        e = min(s + chunk_blocks, nblk)
+        seg = np.zeros((e - s) * BLOCK, dtype=np.uint32)
+        lo, hi = s * BLOCK, min(n, e * BLOCK)
+        if hi > lo:
+            seg[: hi - lo] = bwt[lo:hi]
+        seg = seg.reshape(e - s, BLOCK // 8, 8)
+        words = (seg << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
+        out[s:e] = words.astype(np.int32)  # bit-identical reinterpret
+    return out
 
 
 class FMDIndex:
+    """Flat FMD index. Stores only the packed BWT + occ checkpoints + C —
+    no raw byte-per-symbol copy (at whole-genome scale that alone is
+    ~6.2 GB); `bwt_symbols()` unpacks on demand in chunks."""
+
     def __init__(self, bwt: np.ndarray, counts: np.ndarray):
         assert bwt.dtype == np.uint8
         self.n = int(len(bwt))
-        self.bwt = bwt
         # C[c] = number of symbols < c in the text (acc[] in rb3)
         self.C = np.zeros(8, dtype=np.int64)
         self.C[1:7] = np.cumsum(counts[:6])
@@ -98,9 +114,30 @@ class FMDIndex:
         self.occ = _occ_checkpoints(bwt, nblk, BLOCK)
         self.bwt_words = _pack_nibbles(bwt, nblk)
 
+    @classmethod
+    def from_parts(cls, n: int, C: np.ndarray, occ: np.ndarray,
+                   bwt_words: np.ndarray) -> "FMDIndex":
+        """Rebuild from persisted arrays without re-deriving checkpoints."""
+        self = cls.__new__(cls)
+        self.n = int(n)
+        self.C = C.astype(np.int64)
+        self.nblk = self.n // BLOCK + 1
+        self.occ = occ
+        self.bwt_words = bwt_words
+        return self
+
     def bwt_symbols(self) -> np.ndarray:
-        """The raw BWT as one uint8 symbol per element."""
-        return self.bwt
+        """The BWT as one uint8 symbol per element (unpacked in chunks —
+        the result is n bytes, the transient overhead is bounded)."""
+        out = np.empty(self.nblk * BLOCK, dtype=np.uint8)
+        shifts = np.arange(8, dtype=np.uint32) * 4
+        chunk = 1 << 20
+        for s in range(0, self.nblk, chunk):
+            e = min(s + chunk, self.nblk)
+            words = self.bwt_words[s:e].view(np.uint32)
+            nibs = ((words[:, :, None] >> shifts) & np.uint32(0xF))
+            out[s * BLOCK:e * BLOCK] = nibs.astype(np.uint8).reshape(-1)
+        return out[: self.n]
 
     # -- construction ------------------------------------------------------
 
@@ -114,14 +151,22 @@ class FMDIndex:
     # -- persistence -------------------------------------------------------
 
     def save(self, path: str) -> None:
-        np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
-                            bwt=self.bwt, C=self.C)
+        """Persist bwt_words + occ + C (uncompressed npz: load is one
+        sequential read with no checkpoint re-derivation — the reference
+        reuses its .fmd across samples the same way, README.md:104)."""
+        np.savez(path if path.endswith(".npz") else path + ".npz",
+                 n=np.int64(self.n), C=self.C, occ=self.occ,
+                 bwt_words=self.bwt_words)
 
     @classmethod
     def load(cls, path: str) -> "FMDIndex":
         if not path.endswith(".npz"):
             path = path + ".npz"
         data = np.load(path)
+        if "bwt_words" in data.files:
+            return cls.from_parts(int(data["n"]), data["C"], data["occ"],
+                                  data["bwt_words"])
+        # v1 format (raw BWT only): re-derive checkpoints
         bwt = data["bwt"]
         counts = np.bincount(bwt, minlength=8)
         return cls(bwt, counts)
@@ -193,16 +238,51 @@ class FMDIndex:
         return ik.size
 
 
-def genome_text(chromosomes: Dict[str, str]) -> np.ndarray:
-    """Concatenate nt6(S) $ nt6(revcomp(S)) $ over all chromosomes."""
+def genome_text_ends(chromosomes: Dict[str, str]
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate nt6(S) $ nt6(revcomp(S)) $ over all chromosomes, plus
+    the exclusive end offset of each sentinel-terminated string (two
+    strings per chromosome) for the grouped builder."""
     parts = []
+    ends = []
+    total = 0
     zero = np.zeros(1, dtype=np.uint8)
     for seq in chromosomes.values():
         enc = encode_nt6(seq)
-        parts.extend([enc, zero, revcomp_nt6(enc), zero])
-    return np.concatenate(parts)
+        parts.extend([enc, zero])
+        total += len(enc) + 1
+        ends.append(total)
+        parts.extend([revcomp_nt6(enc), zero])
+        total += len(enc) + 1
+        ends.append(total)
+    return np.concatenate(parts), np.asarray(ends, dtype=np.int64)
 
 
-def build_index(chromosomes: Dict[str, str]) -> FMDIndex:
-    """Build the two-strand FMD index of a genome (cf. `SVDSS index`)."""
-    return FMDIndex.from_text(genome_text(chromosomes))
+def genome_text(chromosomes: Dict[str, str]) -> np.ndarray:
+    """Concatenate nt6(S) $ nt6(revcomp(S)) $ over all chromosomes."""
+    return genome_text_ends(chromosomes)[0]
+
+
+# texts below this use the in-process SA path even when the native grouped
+# builder is available (tiny inputs: ctypes round-trip not worth it)
+_GROUPED_MIN = 1 << 20
+
+
+def build_index(chromosomes: Dict[str, str], threads: int = 1) -> FMDIndex:
+    """Build the two-strand FMD index of a genome (cf. `SVDSS index`,
+    main.cpp:34-37 -> ropebwt3 build).
+
+    Large texts use the native grouped builder (per-group int32 SA-IS +
+    threaded FM-walk merge, native/bwtbuild.cpp) — required past 2^31
+    symbols, where a single in-RAM int64 SA-IS pass is impractical."""
+    text, ends = genome_text_ends(chromosomes)
+    if len(text) >= _GROUPED_MIN:
+        from .suffix_array import build_bwt_grouped
+        bwt = build_bwt_grouped(text, ends, threads=max(1, threads))
+        if bwt is not None:
+            counts = np.bincount(text, minlength=8)
+            del text
+            return FMDIndex(bwt, counts)
+    assert len(text) < 2**31, \
+        "whole-genome builds need the native library (make -C native)"
+    return FMDIndex.from_text(text)

@@ -42,9 +42,48 @@ def _load_native():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64]
             lib.svdss_sais.restype = ctypes.c_int
+            if hasattr(lib, "svdss_build_bwt"):
+                lib.svdss_build_bwt.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int32, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8)]
+                lib.svdss_build_bwt.restype = ctypes.c_int
             _NATIVE = lib
             break
     return _NATIVE
+
+
+def build_bwt_grouped(text: np.ndarray, str_ends: np.ndarray,
+                      threads: int = 1,
+                      group_max: int = 0) -> "np.ndarray | None":
+    """Whole-genome BWT via the native grouped builder (per-group int32
+    SA-IS + FM-walk merge; native/bwtbuild.cpp — the role of ropebwt3's
+    parallel incremental build, reference main.cpp:34-37).
+
+    text: uint8 nt6 concatenation of strings each ending with a 0
+    sentinel; str_ends: int64 exclusive end offsets per string. Texts that
+    fit one group (< ~768M symbols by default) get a single content-
+    crossing SA-IS, identical to the plain path; larger texts merge groups
+    under per-string sentinel semantics, which the FMD search is invariant
+    to (see index/fmd.py). Returns None when the native library is absent.
+    """
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "svdss_build_bwt"):
+        return None
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    str_ends = np.ascontiguousarray(str_ends, dtype=np.int64)
+    bwt = np.empty(len(text), dtype=np.uint8)
+    rc = lib.svdss_build_bwt(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(text)),
+        str_ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(str_ends)),
+        ctypes.c_int32(threads), ctypes.c_int64(group_max),
+        bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise RuntimeError(f"svdss_build_bwt failed (rc={rc})")
+    return bwt
 
 
 def suffix_array_doubling(t: np.ndarray) -> np.ndarray:

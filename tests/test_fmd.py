@@ -101,7 +101,7 @@ def test_bi_interval_symmetry(small_genome, small_index, rng):
 
 def test_rank_vectorized(small_index, rng):
     idx = small_index
-    bwt = idx.bwt
+    bwt = idx.bwt_symbols()
     pos = rng.integers(0, idx.n + 1, 50)
     ranks = idx.rank6(pos)
     for p, row in zip(pos, ranks):
