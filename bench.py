@@ -2,21 +2,28 @@
 
 Prints ONE JSON line:
     {"metric": "sfs_search_reads_per_s_per_chip", "value": N,
-     "unit": "reads/s", "vs_baseline": R}
+     "unit": "reads/s", "vs_baseline": R, ...}
 
 The primary metric follows BASELINE.json: ping-pong SFS extraction speed
-over HiFi-like reads. The baseline denominator is 16-thread CPU SVDSS
-search throughput on smoothed ~10kb reads, estimated at 1500 reads/s from
-the reference's published whole-genome guidance (README.md:113-145: 16
-threads; a 30x HG002 run is ~6M reads over on the order of an hour) — the
-reference repo publishes no hard numbers (SURVEY.md §6), so vs_baseline is
-measured_reads_per_s / 1500.
+over HiFi-like smoothed reads (10kb, 0.2% SNVs, 30% carrying a 100bp novel
+insertion — the search stage's real input).
 
-Workload: synthetic 1Mbp genome (two-strand FMD index in HBM), 1024 reads
-of 10kb sampled from it with 0.2% SNVs + occasional novel insertions —
-i.e. smoothed-read statistics, the search stage's real input. Timing
-excludes compilation (one warmup batch) and includes host->device transfer
-of the read batch, matching the production streaming loop.
+The baseline denominator is MEASURED, not assumed: the native C++ host
+search (native/pingpong.cpp — same flat-FM rank design class as the
+reference's ropebwt3 path, at least as fast per thread) runs the same
+workload single-threaded on this host, and the 16-thread reference figure
+is per-thread x 16 (the reference search is embarrassingly parallel over
+reads, ping_pong.cpp:329; this box has 2 cores, so 16 threads cannot be
+run directly — the x16 extrapolation is recorded in the JSON as
+host_reads_per_s_16t_est alongside the measured 1t/2t numbers).
+
+The default genome is 100Mbp (two-strand index ~300MB of fused rows /
+~200M symbols) so occ gathers are HBM/DRAM-resident rather than
+cache-resident on both paths; SVDSS_BENCH_GENOME overrides. Secondary
+rates at 2kb and 30kb reads are reported under reads_per_s_by_len.
+
+Timing excludes compilation (one warmup batch) and includes host->device
+transfer of the read batch, matching the production streaming loop.
 """
 
 from __future__ import annotations
@@ -27,8 +34,6 @@ import sys
 import time
 
 import numpy as np
-
-BASELINE_CPU_READS_PER_S = 1500.0
 
 
 def build_problem(genome_bp: int, n_reads: int, read_len: int, seed: int = 3):
@@ -45,12 +50,17 @@ def build_problem(genome_bp: int, n_reads: int, read_len: int, seed: int = 3):
     else:
         genome = {"bench": genome_arr.tobytes().decode()}
         t0 = time.time()
-        index = build_index(genome)
+        index = build_index(genome, threads=2)
         print(f"[bench] index build: {time.time() - t0:.1f}s "
               f"({index.n} symbols)", file=sys.stderr)
         index.save(cache)
+    return index, genome_arr
 
-    # nt6 genome (A=1..T=4); reads generated fully vectorized
+
+def make_reads(genome_arr: np.ndarray, n_reads: int, read_len: int,
+               seed: int = 5):
+    genome_bp = len(genome_arr)
+    rng = np.random.default_rng(seed)
     g6 = np.zeros(genome_bp, dtype=np.uint8)
     for i, b in enumerate(b"ACGT"):
         g6[genome_arr == b] = i + 1
@@ -70,7 +80,49 @@ def build_problem(genome_bp: int, n_reads: int, read_len: int, seed: int = 3):
         ins = rng.integers(1, 5, 100).astype(np.uint8)
         reads[i, at + 100:read_len] = reads[i, at:read_len - 100].copy()
         reads[i, at:at + 100] = ins
-    return index, reads, lens
+    return reads, lens
+
+
+def time_device(dev_index, reads, lens, iters: int, cap: int = 512,
+                **jump_kw):
+    import jax
+    import jax.numpy as jnp
+    from svdss_tpu.ops.pingpong_jax import batch_search
+    seqs_j = jnp.asarray(reads)
+    lens_j = jnp.asarray(lens)
+    t0 = time.time()
+    res = batch_search(dev_index, seqs_j, lens_j, cap=cap, **jump_kw)
+    jax.block_until_ready(res.n_sfs)
+    warm = time.time() - t0
+    if bool(np.asarray(res.incomplete).any()):
+        print("[bench] WARNING: incomplete lanes", file=sys.stderr)
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        res = batch_search(dev_index, seqs_j, lens_j, cap=cap, **jump_kw)
+        jax.block_until_ready(res.n_sfs)
+        times.append(time.time() - t0)
+    n_sfs = int(np.asarray(res.n_sfs).sum())
+    return len(reads) / min(times), warm, n_sfs, times
+
+
+def measure_host_baseline(index, reads, lens, n_sample: int):
+    """Native C++ host search on the same workload: measured 1t/2t rates
+    + the documented x16 extrapolation (see module docstring)."""
+    from svdss_tpu.ops.pingpong_native import open_native_fmd
+    nf = open_native_fmd(index, threads=2)
+    if nf is None:
+        return None
+    n = min(n_sample, len(reads))
+    encoded = [reads[i, :lens[i]].copy() for i in range(n)]
+    out = {}
+    for t in (1, 2):
+        nf.search_batch(encoded[:8], threads=t)   # warm page-in
+        t0 = time.time()
+        nf.search_batch(encoded, threads=t)
+        out[t] = n / (time.time() - t0)
+    nf.close()
+    return out
 
 
 def main() -> int:
@@ -78,7 +130,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-bp", type=int,
                     default=int(os.environ.get("SVDSS_BENCH_GENOME",
-                                               1_000_000)))
+                                               100_000_000)))
     ap.add_argument("--reads", type=int,
                     default=int(os.environ.get("SVDSS_BENCH_READS", 4096)))
     ap.add_argument("--read-len", type=int, default=10_000)
@@ -87,6 +139,11 @@ def main() -> int:
                     help="small fixed shape (256 reads x 2kb, 1Mbp genome), "
                          "1 iter — fast TPU sanity gate before committing "
                          "ops/ changes")
+    ap.add_argument("--no-sweep", action="store_true",
+                    help="skip the secondary 2kb/30kb read-length rates")
+    ap.add_argument("--no-host", action="store_true",
+                    help="skip the measured host baseline")
+    ap.add_argument("--host-sample", type=int, default=512)
     ap.add_argument("--jump-k", dest="jump_k", type=int, default=0,
                     help="k-mer jump table size (0 disables; measured "
                          "net-negative on SFS-dense reads)")
@@ -96,6 +153,8 @@ def main() -> int:
     if args.smoke:
         args.genome_bp, args.reads, args.read_len, args.iters = (
             1_000_000, 256, 2_000, 1)
+        args.no_sweep = True
+        args.no_host = True
 
     from svdss_tpu.utils.device import init_device_runtime
     init_device_runtime()
@@ -107,50 +166,65 @@ def main() -> int:
           file=sys.stderr)
 
     from svdss_tpu.ops.fmd_jax import DeviceFMDIndex, build_jump_table
-    from svdss_tpu.ops.pingpong_jax import batch_search
     from svdss_tpu.utils.seq import kmer_keys
 
-    index, reads, lens = build_problem(args.genome_bp, args.reads,
-                                       args.read_len)
+    index, genome_arr = build_problem(args.genome_bp, args.reads,
+                                      args.read_len)
+    reads, lens = make_reads(genome_arr, args.reads, args.read_len)
     dev_index = DeviceFMDIndex.from_host(index)
-    import jax.numpy as jnp
-    seqs_j = jnp.asarray(reads)
-    lens_j = jnp.asarray(lens)
+    print(f"[bench] index: {index.n} symbols, device table "
+          f"{dev_index.nbytes / 2**20:.0f} MiB"
+          f"{' (wide)' if dev_index.wide else ''}", file=sys.stderr)
     jump_kw = {}
     if args.jump_k:
+        import jax.numpy as jnp
         t0 = time.time()
         jt = build_jump_table(dev_index, args.jump_k)
         jax.block_until_ready(jt)
         print(f"[bench] {args.jump_k}-mer jump table: "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
-        keys = jnp.asarray(kmer_keys(reads, args.jump_k))
-        jump_kw = dict(jump_table=jt, keys=keys, jump_k=args.jump_k)
+        jump_kw = dict(jump_table=jt, keys=jnp.asarray(
+            kmer_keys(reads, args.jump_k)), jump_k=args.jump_k)
 
-    t0 = time.time()
-    res = batch_search(dev_index, seqs_j, lens_j, cap=512, **jump_kw)
-    jax.block_until_ready(res.n_sfs)
-    print(f"[bench] warmup (incl. compile): {time.time() - t0:.1f}s, "
-          f"iters={int(res.iters)}, "
-          f"total SFS={int(np.asarray(res.n_sfs).sum())}", file=sys.stderr)
-    if bool(np.asarray(res.incomplete).any()):
-        print("[bench] WARNING: incomplete lanes", file=sys.stderr)
+    rate, warm, n_sfs, times = time_device(dev_index, reads, lens,
+                                           args.iters, **jump_kw)
+    print(f"[bench] primary {args.read_len}bp: warmup {warm:.1f}s, "
+          f"times {['%.3f' % t for t in times]} -> {rate:.1f} reads/s "
+          f"({n_sfs} SFS)", file=sys.stderr)
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.time()
-        res = batch_search(dev_index, seqs_j, lens_j, cap=512, **jump_kw)
-        jax.block_until_ready(res.n_sfs)
-        times.append(time.time() - t0)
-    best = min(times)
-    reads_per_s = args.reads / best
-    print(f"[bench] batch times: {['%.3f' % t for t in times]} "
-          f"-> {reads_per_s:.1f} reads/s", file=sys.stderr)
-    print(json.dumps({
+    by_len = {str(args.read_len): round(rate, 1)}
+    if not args.no_sweep:
+        for L in (2_000, 30_000):
+            r2, l2 = make_reads(genome_arr, args.reads, L)
+            r_l, w_l, _, _ = time_device(dev_index, r2, l2, 1, **jump_kw)
+            by_len[str(L)] = round(r_l, 1)
+            print(f"[bench] {L}bp: {r_l:.1f} reads/s (warmup {w_l:.1f}s)",
+                  file=sys.stderr)
+
+    out = {
         "metric": "sfs_search_reads_per_s_per_chip",
-        "value": round(reads_per_s, 1),
+        "value": round(rate, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_CPU_READS_PER_S, 3),
-    }))
+        "genome_bp": args.genome_bp,
+        "read_len": args.read_len,
+        "reads_per_s_by_len": by_len,
+    }
+    if not args.no_host:
+        host = measure_host_baseline(index, reads, lens, args.host_sample)
+        if host:
+            est16 = host[1] * 16
+            out["host_reads_per_s_1t"] = round(host[1], 1)
+            out["host_reads_per_s_2t"] = round(host[2], 1)
+            out["host_reads_per_s_16t_est"] = round(est16, 1)
+            out["vs_baseline"] = round(rate / est16, 3)
+            print(f"[bench] host baseline: {host[1]:.1f}/1t "
+                  f"{host[2]:.1f}/2t -> 16t est {est16:.1f}",
+                  file=sys.stderr)
+    if "vs_baseline" not in out:
+        # no native library: fall back to the round-1 documented estimate
+        out["vs_baseline"] = round(rate / 1500.0, 3)
+        out["baseline_note"] = "estimated 1500 reads/s (native lib absent)"
+    print(json.dumps(out))
     return 0
 
 

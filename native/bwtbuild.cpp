@@ -48,73 +48,17 @@
 #include <thread>
 #include <vector>
 
+#include "rank.h"
 #include "sais_impl.h"
 
 namespace {
 
 using i64 = int64_t;
 
-constexpr int kBlockLog = 7;                 // 128-symbol occ blocks
-constexpr i64 kBlock = 1ll << kBlockLog;
-constexpr size_t kRow = 192;                 // 6*8 occ + 128 syms + 16 pad
-constexpr size_t kOccBytes = 48;
-
-// Fused flat rank over a BWT: per-block (occ[6] int64, 128 bytes) rows.
-struct RankIndex {
-  std::vector<uint8_t> rows;
-  i64 n = 0;
-  i64 acc[8] = {0};  // acc[c] = #symbols < c (c in 0..7)
-
-  void build(const uint8_t *bwt, i64 len, int threads) {
-    n = len;
-    i64 nblk = (n >> kBlockLog) + 1;
-    rows.assign((size_t)nblk * kRow, 0);
-    i64 chunk_blocks = (nblk + threads - 1) / threads;
-    std::vector<std::thread> ts;
-    for (int t = 0; t < threads; ++t) {
-      ts.emplace_back([&, t] {
-        i64 b0 = t * chunk_blocks, b1 = std::min(nblk, b0 + chunk_blocks);
-        for (i64 blk = b0; blk < b1; ++blk) {
-          i64 s = blk << kBlockLog, e = std::min(n, s + kBlock);
-          uint8_t *row = &rows[(size_t)blk * kRow];
-          i64 *occ = reinterpret_cast<i64 *>(row);
-          if (e > s) std::memcpy(row + kOccBytes, bwt + s, (size_t)(e - s));
-          for (i64 i = s; i < e; ++i) ++occ[bwt[i]];  // symbols are 0..5
-        }
-      });
-    }
-    for (auto &th : ts) th.join();
-    // exclusive prefix over blocks (occ rows currently hold block counts)
-    i64 run[6] = {0};
-    for (i64 blk = 0; blk < nblk; ++blk) {
-      i64 *occ = reinterpret_cast<i64 *>(&rows[(size_t)blk * kRow]);
-      for (int c = 0; c < 6; ++c) {
-        i64 v = occ[c];
-        occ[c] = run[c];
-        run[c] += v;
-      }
-    }
-    i64 s = 0;
-    for (int c = 0; c < 8; ++c) {
-      acc[c] = s;
-      if (c < 6) s += run[c];
-    }
-  }
-
-  inline i64 rank(int c, i64 pos) const {
-    const uint8_t *row = &rows[(size_t)(pos >> kBlockLog) * kRow];
-    i64 r = reinterpret_cast<const i64 *>(row)[c];
-    const uint8_t *p = row + kOccBytes;
-    i64 e = pos & (kBlock - 1);
-    for (i64 i = 0; i < e; ++i) r += (p[i] == c);
-    return r;
-  }
-};
-
 struct GroupBuild {
   int rc = 0;
-  std::vector<uint8_t> bwt;
-  std::vector<int32_t> sa;
+  svdss::hvector<uint8_t> bwt;
+  svdss::hvector<int32_t> sa;
 };
 
 // Local BWT of one group via int32 SA-IS. Local wraparound: the row of
@@ -123,10 +67,10 @@ struct GroupBuild {
 void group_bwt(const uint8_t *g, i64 m, GroupBuild &out) {
   if (m + 1 >= (1ll << 31)) { out.rc = 2; return; }
   int32_t n1 = (int32_t)(m + 1);
-  std::vector<uint8_t> s((size_t)n1);
+  svdss::hvector<uint8_t> s((size_t)n1);
   for (i64 i = 0; i < m; ++i) s[i] = g[i] + 1;
   s[m] = 0;  // unique terminator (text symbols are 1..6 after shift)
-  std::vector<int32_t> SA((size_t)n1);
+  svdss::hvector<int32_t> SA((size_t)n1);
   svdss::sais_rec<uint8_t, int32_t>(s.data(), SA.data(), n1, 8);
   out.sa.assign(SA.begin() + 1, SA.end());  // drop the terminator row
   out.bwt.resize((size_t)m);
@@ -169,8 +113,8 @@ extern "C" int svdss_build_bwt(const uint8_t *text, i64 n,
 
   // accumulated BWT lives in bwt_out[0 : nA)
   i64 nA = 0;
-  RankIndex rk;
-  std::vector<uint8_t> merged;
+  svdss::RankIndex rk;
+  svdss::hvector<uint8_t> merged;
   auto launch = [&](size_t gi) {
     return std::async(std::launch::async, [&, gi] {
       GroupBuild gb;
@@ -194,7 +138,7 @@ extern "C" int svdss_build_bwt(const uint8_t *text, i64 n,
     }
 
     // FM-walk each string of B through A (independent -> thread pool)
-    std::vector<i64> ins((size_t)nB);
+    svdss::hvector<i64> ins((size_t)nB);
     i64 sent_A = rk.acc[1];  // count of sentinel(0) symbols in A
     std::atomic<i64> next_str{G.str0};
     auto walk = [&] {

@@ -9,30 +9,73 @@
 #pragma once
 
 #include <cstdint>
+#include <cstdlib>
+#include <new>
 #include <vector>
 
+#include <sys/mman.h>
+
 namespace svdss {
+
+// Allocator backing large arrays with transparent hugepages (the host runs
+// THP in madvise mode, so GB-scale suffix arrays otherwise random-access
+// through 4KB pages — measured as the dominant SA-IS cost: TLB misses).
+// Small allocations fall through to plain new.
+template <typename T>
+struct huge_allocator {
+  using value_type = T;
+  static constexpr std::size_t kHuge = std::size_t(1) << 21;
+
+  huge_allocator() = default;
+  template <class U> huge_allocator(const huge_allocator<U> &) {}
+
+  static std::size_t rounded(std::size_t n) {
+    return (n * sizeof(T) + kHuge - 1) & ~(kHuge - 1);
+  }
+  T *allocate(std::size_t n) {
+    if (n * sizeof(T) < kHuge)
+      return static_cast<T *>(::operator new(n * sizeof(T)));
+    void *p = mmap(nullptr, rounded(n), PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) throw std::bad_alloc();
+    madvise(p, rounded(n), MADV_HUGEPAGE);
+    return static_cast<T *>(p);
+  }
+  void deallocate(T *p, std::size_t n) noexcept {
+    if (n * sizeof(T) < kHuge)
+      ::operator delete(p);
+    else
+      munmap(p, rounded(n));
+  }
+  bool operator==(const huge_allocator &) const { return true; }
+  bool operator!=(const huge_allocator &) const { return false; }
+};
+
+template <typename T>
+using hvector = std::vector<T, huge_allocator<T>>;
 
 template <typename T, typename I>
 void sais_rec(const T *s, I *SA, I n, I K) {
   if (n == 0) return;
   if (n == 1) { SA[0] = 0; return; }
 
-  std::vector<bool> is_s(n);
-  is_s[n - 1] = true;
+  // suffix types as plain bytes (vector<bool> bit ops cost ~2x in the
+  // induced-sort scans, the dominant loops at scale)
+  hvector<uint8_t> is_s(n);
+  is_s[n - 1] = 1;
   for (I i = n - 2; i >= 0; --i)
     is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
 
   auto is_lms = [&](I i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
 
-  std::vector<I> bkt(K + 1);
+  // symbol counts once; bucket heads/tails are K-length derivations
+  std::vector<I> cnt(K + 1, 0), bkt(K + 1);
+  for (I i = 0; i < n; ++i) ++cnt[s[i]];
   auto get_buckets = [&](bool end) {
-    std::fill(bkt.begin(), bkt.end(), 0);
-    for (I i = 0; i < n; ++i) ++bkt[s[i]];
     I sum = 0;
     for (I c = 0; c <= K; ++c) {
-      sum += bkt[c];
-      bkt[c] = end ? sum : sum - bkt[c];
+      sum += cnt[c];
+      bkt[c] = end ? sum : sum - cnt[c];
     }
   };
 
@@ -88,13 +131,13 @@ void sais_rec(const T *s, I *SA, I n, I K) {
   }
 
   // stage 2: order LMS suffixes
-  std::vector<I> lms_pos;
+  hvector<I> lms_pos;
   lms_pos.reserve(n1);
   for (I i = 1; i < n; ++i)
     if (is_lms(i)) lms_pos.push_back(i);
 
   if (name < n1) {
-    std::vector<I> sub(s1, s1 + n1);
+    hvector<I> sub(s1, s1 + n1);
     sais_rec<I, I>(sub.data(), SA, n1, name - 1);
   } else {
     for (I i = 0; i < n1; ++i) SA[s1[i]] = i;

@@ -79,14 +79,24 @@ def cmd_smooth(args) -> int:
 def cmd_search(args) -> int:
     from .index.fmd import FMDIndex
     from .pipeline.search import run_search
+    from .parallel.distributed import (init_distributed, sfs_shard_path,
+                                       merge_sfs_shards, barrier)
     cfg = _cfg(args)
+    pid, pcount = init_distributed()
     index = FMDIndex.load(args.index)
-    out = open(args.out, "w") if args.out else sys.stdout
+    path = sfs_shard_path(args.out, pid, pcount) if args.out else None
+    out = open(path, "w") if path else sys.stdout
     try:
-        run_search(cfg, index, bam=args.bam, fastx=args.fastx, out=out)
+        run_search(cfg, index, bam=args.bam, fastx=args.fastx, out=out,
+                   shard=(pid, pcount))
     finally:
-        if args.out:
+        if path:
             out.close()
+    if pcount > 1 and args.out:
+        barrier("sfs_written")
+        if pid == 0:
+            merge_sfs_shards(args.out, pcount)
+        barrier("sfs_merged")
     return 0
 
 
@@ -138,7 +148,11 @@ def cmd_run(args) -> int:
     from .pipeline.call import run_call
     from .pipeline.genotype import genotype_call, parse_rvec
 
+    from .parallel.distributed import (init_distributed, sfs_shard_path,
+                                       merge_sfs_shards, barrier)
+
     cfg = _cfg(args)
+    pid, pcount = init_distributed()
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
     index_path = os.path.join(wd, "index.fmd.npz")
@@ -146,31 +160,58 @@ def cmd_run(args) -> int:
     sfs_path = os.path.join(wd, "specifics.txt")
     vcf_path = os.path.join(wd, "variations.vcf")
 
+    # multi-host protocol: host 0 alone decides stage reuse and runs the
+    # single-host stages (index build, smooth); every host then hits the
+    # same unconditional barriers, so decisions cannot race against
+    # another host's mid-run artifact writes. The search stage is
+    # read-sharded across hosts; the sfs file itself only appears after
+    # both search barriers, so its existence check is cross-host
+    # consistent on first runs and on resumes alike.
     import time as _time
     chroms = load_chromosomes(args.reference)
-    if os.path.exists(index_path):
-        logger.info("run: reusing existing index %s", index_path)
+    # search-stage resume decision, before any artifact can be created
+    sfs_exists = os.path.exists(sfs_path)
+    index = None
+    if pid == 0:
+        if os.path.exists(index_path):
+            logger.info("run: reusing existing index %s", index_path)
+            index = FMDIndex.load(index_path)
+        else:
+            t0 = _time.time()
+            index = build_index(chroms, threads=cfg.threads)
+            index.save(index_path + ".tmp")
+            os.replace(index_path + ".tmp.npz", index_path)
+            logger.info("run: index built in %.1fs (%d symbols)",
+                        _time.time() - t0, index.n)
+        if not os.path.exists(smoothed_path):
+            # artifacts are written to a temp name and renamed on success,
+            # so an interrupted stage re-runs instead of resuming a
+            # partial file
+            run_smooth(cfg, chroms, args.bam, smoothed_path + ".tmp")
+            os.replace(smoothed_path + ".tmp", smoothed_path)
+        else:
+            logger.info("run: reusing %s", smoothed_path)
+    if pcount > 1:
+        barrier("index_and_smooth")
+    if index is None:
         index = FMDIndex.load(index_path)
-    else:
-        t0 = _time.time()
-        index = build_index(chroms, threads=cfg.threads)
-        index.save(index_path + ".tmp")
-        os.replace(index_path + ".tmp.npz", index_path)
-        logger.info("run: index built in %.1fs (%d symbols)",
-                    _time.time() - t0, index.n)
-    # artifacts are written to a temp name and renamed on success, so an
-    # interrupted stage is re-run rather than resumed from a partial file
-    if not os.path.exists(smoothed_path):
-        run_smooth(cfg, chroms, args.bam, smoothed_path + ".tmp")
-        os.replace(smoothed_path + ".tmp", smoothed_path)
-    else:
-        logger.info("run: reusing %s", smoothed_path)
-    if not os.path.exists(sfs_path):
-        with open(sfs_path + ".tmp", "w") as fh:
-            run_search(cfg, index, bam=smoothed_path, out=fh)
-        os.replace(sfs_path + ".tmp", sfs_path)
+    if not sfs_exists:
+        shard_path = sfs_shard_path(sfs_path, pid, pcount)
+        with open(shard_path + ".tmp", "w") as fh:
+            run_search(cfg, index, bam=smoothed_path, out=fh,
+                       shard=(pid, pcount))
+        os.replace(shard_path + ".tmp", shard_path)
+        if pcount > 1:
+            barrier("sfs_written")
+            if pid == 0:
+                merge_sfs_shards(sfs_path, pcount)
+            barrier("sfs_merged")
     else:
         logger.info("run: reusing %s", sfs_path)
+    if pid != 0:
+        # call-stage clustering and VCF emission run on host 0 only
+        logger.info("run: host %d done (search shard complete)", pid)
+        return 0
     sfs_map = parse_sfs_file(sfs_path)
     with open(vcf_path + ".tmp", "w") as fh:
         svs, _, _ = run_call(cfg, chroms, smoothed_path, sfs_map, out=None)
@@ -186,6 +227,14 @@ def cmd_run(args) -> int:
 
 
 def main(argv=None) -> int:
+    # explicit platform override (e.g. SVDSS_TPU_PLATFORM=cpu for
+    # multi-process CPU runs): must land before any XLA backend init, and
+    # the environment's sitecustomize may have force-registered a TPU
+    # plugin platform ahead of the JAX_PLATFORMS env var
+    plat = os.environ.get("SVDSS_TPU_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     parser = argparse.ArgumentParser(
         prog="svdss-tpu",
         description="TPU-native structural-variant discovery from "

@@ -84,7 +84,9 @@ ROW_WORDS = OCC_COLS + BWT_WORDS
 # paths run on small genomes; functions read the module global at trace
 # time.
 LIMB_BITS = 31
-_SIGN = jnp.int32(-2**31)  # sign bit, for unsigned comparisons
+_SIGN_INT = -2**31  # sign-bit pattern; kept a plain int — materializing a
+                    # jnp scalar at import time would initialize the XLA
+                    # backend and break jax.distributed.initialize ordering
 
 
 def _lo_mask() -> int:
@@ -99,7 +101,8 @@ def _carry(x: jax.Array) -> jax.Array:
 
 def _ult(a: jax.Array, b: jax.Array) -> jax.Array:
     """Unsigned a < b on int32 bit patterns."""
-    return (a ^ _SIGN) < (b ^ _SIGN)
+    s = jnp.int32(_SIGN_INT)
+    return (a ^ s) < (b ^ s)
 
 
 def comp6(c: jax.Array) -> jax.Array:

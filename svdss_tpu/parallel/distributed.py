@@ -53,6 +53,18 @@ def init_distributed(coordinator: Optional[str] = None,
         return 0, 1
 
 
+def barrier(name: str) -> None:
+    """Cross-host synchronization point (no-op single-process).
+
+    Uses a tiny global allreduce, so it works on any backend jax.distributed
+    supports (CPU in tests, TPU pods in production)."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
 def shard_reads(reads: Iterable, process_id: int,
                 process_count: int) -> Iterator:
     """Stable modulo partition of a read stream."""

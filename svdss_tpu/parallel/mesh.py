@@ -44,6 +44,8 @@ def shard_search_inputs(mesh: Mesh, index: DeviceFMDIndex,
     index = DeviceFMDIndex(
         fused=jax.device_put(index.fused, repl),
         C=jax.device_put(index.C, repl),
+        C_hi=(jax.device_put(index.C_hi, repl)
+              if index.C_hi is not None else None),
     )
     seqs = jax.device_put(seqs, shard)
     lens = jax.device_put(lens, shard)

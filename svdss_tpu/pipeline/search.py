@@ -41,6 +41,27 @@ from ..utils.log import logger
 MIN_READ_LEN = 100   # ping_pong.cpp:70
 _MIN_BUCKET = 512
 
+_NATIVE_FMD_CACHE: dict = {}
+
+
+def host_search_batch(index: FMDIndex, encoded: List[np.ndarray],
+                      overlap: int = -1, threads: int = 2
+                      ) -> List[List[Tuple[int, int]]]:
+    """Host-path search for a batch: the native threaded engine
+    (ops/pingpong_native.py — the reference's 16-thread CPU role,
+    ping_pong.cpp:329) when built, else the Python oracle. Exact either
+    way; used by --no-device runs and the device-overflow fallback."""
+    key = id(index)
+    nf = _NATIVE_FMD_CACHE.get(key)
+    if nf is None and key not in _NATIVE_FMD_CACHE:
+        from ..ops.pingpong_native import open_native_fmd
+        nf = open_native_fmd(index, threads)
+        _NATIVE_FMD_CACHE.clear()     # one live index at a time
+        _NATIVE_FMD_CACHE[key] = nf
+    if nf is not None:
+        return nf.search_batch(encoded, overlap, threads)
+    return [ping_pong_search(index, e, overlap) for e in encoded]
+
 
 def _prefetch(iterable, maxsize: int = 8192):
     """Run the read iterator in a background thread (the role of the
@@ -191,15 +212,22 @@ class _DeviceSearcher:
         ln = np.asarray(res.length)
         bad = np.asarray(res.overflow | res.incomplete)
         out = []
+        redo = []
         for i in range(len(encoded)):
             if bad[i]:
                 # exactness guard: host fallback (rare)
                 self.fallbacks += 1
-                out.append(ping_pong_search(self.index, encoded[i],
-                                            self.config.overlap))
+                redo.append(i)
+                out.append(None)
             else:
                 k = int(n_sfs[i])
                 out.append(list(zip(qs[i, :k].tolist(), ln[i, :k].tolist())))
+        if redo:
+            res2 = host_search_batch(self.index, [encoded[i] for i in redo],
+                                     self.config.overlap,
+                                     self.config.threads)
+            for i, r in zip(redo, res2):
+                out[i] = r
         self.device_reads += len(encoded)
         return out
 
@@ -210,20 +238,34 @@ class _DeviceSearcher:
 
 def run_search(config: Config, index: FMDIndex,
                bam: Optional[str] = None, fastx: Optional[str] = None,
-               out=None) -> List[Tuple[str, List[SFS]]]:
-    """Run the search stage; returns (and optionally writes) per-read SFSs."""
+               out=None, shard: Tuple[int, int] = (0, 1)
+               ) -> List[Tuple[str, List[SFS]]]:
+    """Run the search stage; returns (and optionally writes) per-read SFSs.
+
+    shard=(process_id, process_count) partitions the read stream by stable
+    ordinal modulo process_count for multi-host runs (every host streams
+    the same BAM and skips records cheaply; parallel/distributed.py).
+
+    When writing, output is flushed every >= config.max_output accumulated
+    SFS (the reference's --omax deferred-output buffering,
+    ping_pong.cpp:344-355), bounding writer memory on whole-genome runs.
+    """
     if bam:
         reads = eligible_reads_bam(bam, config.putative)
     elif fastx:
         reads = eligible_reads_fastx(fastx)
     else:
         raise ValueError("search needs a BAM or FASTX input")
+    if shard[1] > 1:
+        from ..parallel.distributed import shard_reads
+        reads = shard_reads(reads, shard[0], shard[1])
 
     searcher = _DeviceSearcher(index, config) if config.use_device else None
 
     groups: List[Tuple[str, List[SFS]]] = []
     t0 = time.time()
     nreads = 0
+    unflushed = [0, 0]   # pending SFS count, flushed-group cursor
 
     def emit(names_hps: List[Tuple[str, int]],
              results: List[List[Tuple[int, int]]]) -> None:
@@ -234,12 +276,30 @@ def run_search(config: Config, index: FMDIndex,
             if config.assemble:
                 sfs_list = assemble(sfs_list)
             groups.append((qname, sfs_list))
+            unflushed[0] += len(sfs_list)
+        if out is not None and unflushed[0] >= config.max_output:
+            write_sfs_file(out, groups[unflushed[1]:])
+            unflushed[:] = [0, len(groups)]
 
     if searcher is None:
+        # host path: native threaded batches (Python-oracle fallback inside)
+        batch: List = []
+
+        def flush_host() -> None:
+            nonlocal batch
+            if not batch:
+                return
+            res = host_search_batch(index, [e for _, _, e in batch],
+                                    config.overlap, config.threads)
+            emit([(q, h) for q, h, _ in batch], res)
+            batch = []
+
         for qname, seq, hp in reads:
-            pairs = ping_pong_search(index, encode_nt6(seq), config.overlap)
-            emit([(qname, hp)], [pairs])
+            batch.append((qname, hp, encode_nt6(seq)))
             nreads += 1
+            if len(batch) >= config.batch_size:
+                flush_host()
+        flush_host()
     else:
         # accumulate per length bucket; flush full batches
         buckets: Dict[int, List] = {}

@@ -172,14 +172,32 @@ def smooth_read(rec: BamRecord, ref, config: Config,
             q_off += ln
         else:
             break
-    ratio = nmis / nmatch if nmatch else float("inf")
-    if ratio > threshold:
+    # IEEE parity with the reference's double division (smoother.cpp:213):
+    # x/0 = +inf -> dirty; 0/0 = NaN, and NaN > threshold is false -> the
+    # read falls through to the should_ignore test
+    if nmatch == 0:
+        dirty = nmis > 0 and threshold != float("inf")
+    else:
+        dirty = nmis / nmatch > threshold
+    if dirty:
         rec.set_tag("XF", "i", 1)     # too dirty: left unmodified
     elif should_ignore:
         rec.set_tag("XF", "i", 2)     # nothing SV-like on this read
     else:
-        rec.seq = (np.concatenate(new_seq).tobytes().decode()
-                   if new_seq else "")
+        seq_arr_new = (np.concatenate(new_seq) if new_seq
+                       else np.empty(0, dtype=np.uint8))
+        # internal-error guard (smoother.cpp:218-227): the rebuilt
+        # sequence must match the new CIGAR's query length and its quals
+        expect = sum(ln for ln, op in new_cigar
+                     if op in (BAM_CMATCH, BAM_CINS, BAM_CSOFT_CLIP))
+        if len(seq_arr_new) != expect or len(new_qual) != len(seq_arr_new):
+            logger.warning("smooth: inconsistent rewrite for %s "
+                           "(seq %d, cigar %d, qual %d) — tagging XF=3",
+                           rec.qname, len(seq_arr_new), expect,
+                           len(new_qual))
+            rec.set_tag("XF", "i", 3)
+            return
+        rec.seq = seq_arr_new.tobytes().decode()
         rec.qual = bytes(new_qual)
         rec.cigar = new_cigar
         rec.set_tag("XF", "i", 0)
@@ -203,7 +221,7 @@ def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
 
     threshold = compute_max_accuracy(src, chroms, config)
     logger.info("smooth: max allowed mismatch ratio %.5f", threshold)
-    stats = {0: 0, 1: 0, 2: 0, "dropped": 0}
+    stats = {0: 0, 1: 0, 2: 0, 3: 0, "dropped": 0}
     t0 = time.time()
     nproc = 0
     cache = _RefCache(chroms)
@@ -247,7 +265,7 @@ def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
             raise werr[0]
     dt = time.time() - t0
     logger.info("smooth: %d alignments in %.2fs (%.1f aln/s); "
-                "XF0=%d XF1=%d XF2=%d dropped=%d", nproc, dt,
+                "XF0=%d XF1=%d XF2=%d XF3=%d dropped=%d", nproc, dt,
                 nproc / max(dt, 1e-9), stats[0], stats[1], stats[2],
-                stats["dropped"])
+                stats[3], stats["dropped"])
     return stats

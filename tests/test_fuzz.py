@@ -73,10 +73,12 @@ def test_smooth_read_edge_cigars():
                      ref[0:20], b"\x28" * 20)
     smooth_read(rec2, ref, cfg, 0.5)
     assert rec2.get_tag("XF") == 2  # only the first M seen -> uninteresting
-    # zero-length seq is tolerated
+    # zero-length seq is tolerated: 0 matches / 0 mismatches is NaN in the
+    # reference's double division (smoother.cpp:213), NaN > threshold is
+    # false, and with nothing SV-like the read tags XF=2
     rec3 = BamRecord("r", 0, 0, 0, 60, [], "", b"")
     smooth_read(rec3, ref, cfg, 0.5)
-    assert rec3.get_tag("XF") == 1  # no matches -> inf ratio -> dirty
+    assert rec3.get_tag("XF") == 2
 
 
 def test_pingpong_host_tiny_reads():
