@@ -619,9 +619,14 @@ def pcall(clusters: List[Cluster], chroms: Dict[str, str], cfg: Config
         for cl in split_cluster(cluster, cfg):
             ref = chrom_seq[cl.s:cl.e + 1]
             subtasks.append((cluster, cl, ref))
-    with ThreadPoolExecutor(max_workers=max(cfg.threads, 1)) as pool:
-        consensuses = list(pool.map(
-            lambda t: poa_consensus(t[1].get_seqs()), subtasks))
+    seq_lists = [t[1].get_seqs() for t in subtasks]
+    from ..ops.poa_native import poa_consensus_batch
+    consensuses = poa_consensus_batch(seq_lists,
+                                      threads=max(cfg.threads, 1))
+    if consensuses is None:
+        # native library absent: Python oracle over a thread pool
+        with ThreadPoolExecutor(max_workers=max(cfg.threads, 1)) as pool:
+            consensuses = list(pool.map(poa_consensus, seq_lists))
     tasks = [(cluster, cl, consensus, ref)
              for (cluster, cl, ref), consensus in zip(subtasks, consensuses)
              if consensus]
