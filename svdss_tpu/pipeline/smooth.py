@@ -203,17 +203,164 @@ def smooth_read(rec: BamRecord, ref, config: Config,
         rec.set_tag("XF", "i", 0)
 
 
+def _bind_native_smooth(lib) -> bool:
+    import ctypes
+    if not hasattr(lib, "svdss_smooth_run"):
+        return False
+    if getattr(lib, "_smooth_bound", False):
+        return True
+    P8 = ctypes.POINTER(ctypes.c_uint8)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    lib.svdss_smooth_ratios.argtypes = [
+        P8, ctypes.c_int64, P64, ctypes.c_int64, P8, P64, P64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), P64]
+    lib.svdss_smooth_ratios.restype = ctypes.c_int
+    lib.svdss_smooth_run.argtypes = [
+        P8, ctypes.c_int64, P64, ctypes.c_int64, P8, P64, P64,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p), P64, P64]
+    lib.svdss_smooth_run.restype = ctypes.c_int
+    lib.svdss_bgzf_write.argtypes = [
+        ctypes.c_char_p, P8, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    lib.svdss_bgzf_write.restype = ctypes.c_int
+    lib.svdss_bam_scan2 = lib.svdss_bam_scan
+    lib._smooth_bound = True
+    return True
+
+
+def _native_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
+                   out_path: str):
+    """Native fast path (native/smooth.cpp): threaded CIGAR rewrite +
+    parallel BGZF deflate. Field-identical records to the Python path
+    (tests/test_smooth_native.py); returns stats, or None when the native
+    library is unavailable."""
+    import ctypes
+
+    from ..io import native as nat
+    lib = nat.load()
+    if lib is None or not _bind_native_smooth(lib):
+        return None
+    data = nat.bgzf_read_all(bam_path)
+    if data is None:
+        return None
+    t0 = time.time()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    P8 = ctypes.POINTER(ctypes.c_uint8)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    datap = buf.ctypes.data_as(P8)
+    recsp = ctypes.c_void_p()
+    nrecs = ctypes.c_int64()
+    if lib.svdss_bam_scan(datap, len(buf), ctypes.byref(recsp),
+                          ctypes.byref(nrecs)) != 0:
+        return None
+    try:
+        header = BamReader(data).header
+        ref_parts = []
+        ref_off = np.full(max(1, len(header.names)), -1, dtype=np.int64)
+        ref_len = np.zeros(max(1, len(header.names)), dtype=np.int64)
+        off = 0
+        for t, name in enumerate(header.names):
+            if name in chroms:
+                s = chroms[name].encode()
+                ref_parts.append(s)
+                ref_off[t] = off
+                ref_len[t] = len(s)
+                off += len(s)
+        ref_buf = np.frombuffer(b"".join(ref_parts), dtype=np.uint8) \
+            if ref_parts else np.zeros(1, dtype=np.uint8)
+        recs64 = ctypes.cast(recsp, P64)
+
+        sample_n = config.accuracy_sample
+        ratios = np.empty(max(1, sample_n), dtype=np.float64)
+        got = ctypes.c_int64()
+        lib.svdss_smooth_ratios(
+            datap, len(buf), recs64, nrecs,
+            ref_buf.ctypes.data_as(P8), ref_off.ctypes.data_as(P64),
+            ref_len.ctypes.data_as(P64), ctypes.c_int32(len(header.names)),
+            ctypes.c_int32(config.min_mapq), ctypes.c_int32(sample_n),
+            ratios.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(got))
+        if got.value == 0:
+            threshold = float("inf")
+        else:
+            rl = sorted(ratios[:got.value].tolist())
+            threshold = percentile(rl, config.accp)
+        logger.info("smooth: max allowed mismatch ratio %.5f", threshold)
+
+        outp = ctypes.c_void_p()
+        outsz = ctypes.c_int64()
+        stats_a = np.zeros(5, dtype=np.int64)
+        rc = lib.svdss_smooth_run(
+            datap, len(buf), recs64, nrecs,
+            ref_buf.ctypes.data_as(P8), ref_off.ctypes.data_as(P64),
+            ref_len.ctypes.data_as(P64), ctypes.c_int32(len(header.names)),
+            ctypes.c_double(threshold), ctypes.c_int32(config.min_mapq),
+            ctypes.c_int32(config.min_indel_length),
+            ctypes.c_int(max(1, config.threads)),
+            ctypes.byref(outp), ctypes.byref(outsz),
+            stats_a.ctypes.data_as(P64))
+        if rc != 0:
+            return None
+        try:
+            # header part (no EOF), then the record stream (append + EOF);
+            # level-1: intermediate artifact read back only by us
+            hdr = _header_bytes(header)
+            hbuf = np.frombuffer(hdr, dtype=np.uint8)
+            if lib.svdss_bgzf_write(out_path.encode(),
+                                    hbuf.ctypes.data_as(P8), len(hdr),
+                                    1, max(1, config.threads), 2) != 0:
+                return None
+            if lib.svdss_bgzf_write(out_path.encode(),
+                                    ctypes.cast(outp, P8), outsz,
+                                    1, max(1, config.threads), 1) != 0:
+                return None
+        finally:
+            lib.svdss_free(outp)
+    finally:
+        lib.svdss_free(recsp)
+    stats = {0: int(stats_a[0]), 1: int(stats_a[1]), 2: int(stats_a[2]),
+             3: int(stats_a[3]), "dropped": int(stats_a[4])}
+    nproc = int(nrecs.value)
+    dt = time.time() - t0
+    logger.info("smooth: %d alignments in %.2fs (%.1f aln/s, native); "
+                "XF0=%d XF1=%d XF2=%d XF3=%d dropped=%d", nproc, dt,
+                nproc / max(dt, 1e-9), stats[0], stats[1], stats[2],
+                stats[3], stats["dropped"])
+    return stats
+
+
+def _header_bytes(header) -> bytes:
+    """BAM header block exactly as BamWriter serializes it."""
+    import struct
+    text_b = header.text.encode()
+    parts = [b"BAM\x01", struct.pack("<i", len(text_b)), text_b,
+             struct.pack("<i", len(header.refs))]
+    for name, length in header.refs:
+        nb = name.encode() + b"\x00"
+        parts.append(struct.pack("<i", len(nb)) + nb
+                     + struct.pack("<i", length))
+    return b"".join(parts)
+
+
 def run_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
-               out_path: str) -> Dict[str, int]:
+               out_path: str, use_native: bool = True) -> Dict[str, int]:
     """Smooth a BAM into out_path; returns XF-tag counts.
 
-    The BAM is decompressed once (shared between the accuracy pass and the
-    main pass) and written through a background thread — zlib deflate
-    releases the GIL, so record encode/compress overlaps the CIGAR rewrite
-    (the role of the reference's triple-buffered writer lane,
-    smoother.cpp:412-465)."""
+    The native path (threaded rewrite + parallel deflate) runs when the
+    library is built; otherwise the BAM is decompressed once (shared
+    between the accuracy pass and the main pass) and written through a
+    background thread — zlib deflate releases the GIL, so record
+    encode/compress overlaps the CIGAR rewrite (the role of the
+    reference's triple-buffered writer lane, smoother.cpp:412-465)."""
     import queue
     import threading
+
+    if use_native:
+        stats = _native_smooth(config, chroms, bam_path, out_path)
+        if stats is not None:
+            return stats
 
     from ..io.native import bgzf_read_all
     data = bgzf_read_all(bam_path)
