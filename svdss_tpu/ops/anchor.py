@@ -105,9 +105,22 @@ def build_anchor_index(text: np.ndarray, k: Optional[int] = None,
     if k is None:
         k = pick_k(n)
     assert n < 2 ** 31, "anchor tables are narrow-coordinate (v1)"
-    keys = text_keys(text, k)
-    valid = keys >= 0
-    vkeys = keys[valid]
+    # one rolling pass: rawkeys[p] = base-4 value of the k symbols ending
+    # at p (junk where the window is dirty), clean[p] = ACGT run length
+    # ending at p. key_j = rawkeys mod 4^j wherever clean >= j — older
+    # symbols contribute multiples of 4^j and vanish mod 4^j.
+    t = text.astype(np.int64)
+    rawkeys = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        sh = np.zeros_like(t)
+        sh[j:] = t[: n - j] if j else t
+        rawkeys += (sh - 1) * (4 ** j)
+    bad = (text < 1) | (text > 4)
+    last_bad = np.maximum.accumulate(
+        np.where(bad, np.arange(n, dtype=np.int64), -1))
+    clean = np.arange(n, dtype=np.int64) - last_bad
+    valid = clean >= k
+    vkeys = rawkeys[valid]
     starts = (np.nonzero(valid)[0] - (k - 1)).astype(np.int32)
     counts = np.bincount(vkeys, minlength=4 ** k).astype(np.int32)
     # poslist grouped by key (counting sort); singletons inline in meta
@@ -127,20 +140,17 @@ def build_anchor_index(text: np.ndarray, k: Optional[int] = None,
     if len(multi_keys):
         np.cumsum(seg_lens[:-1], out=new_starts[1:])
     meta[multi_keys, 1] = new_starts.astype(np.int32)
-    poslist = np.empty(int(seg_lens.sum()), dtype=np.int32)
-    for mk, ns, sl in zip(multi_keys.tolist(), new_starts.tolist(),
-                          seg_lens.tolist()):
-        poslist[ns:ns + sl] = grouped[cum[mk]:cum[mk] + sl]
+    # grouped is already key-ordered; the compact poslist is simply the
+    # entries whose key is multi-occurrence, in place
+    entry_multi = multi[vkeys[order]]
+    poslist = np.ascontiguousarray(grouped[entry_multi])
     # level bitmaps for j in (j0, k): j0 = largest all-present level
     levels = {}
     j0 = k - 1
-    kk = keys  # level keys derive by masking: key_j = key_k mod 4^j
     for j in range(k - 1, 0, -1):
-        # validity at level j: last j symbols clean — recompute cheaply
-        keys_j = text_keys(text, j) if j != k else kk
-        vj = keys_j[keys_j >= 0]
+        vj = rawkeys[clean >= j] % (4 ** j)
         present = np.zeros(4 ** j, dtype=bool)
-        present[np.unique(vj)] = True
+        present[vj] = True
         if present.all():
             j0 = j
             break

@@ -351,5 +351,5 @@ def run_search(config: Config, index: FMDIndex,
                 nreads, dt, nreads / max(dt, 1e-9),
                 f", {searcher.fallbacks} host fallbacks" if searcher else "")
     if out is not None:
-        write_sfs_file(out, groups)
+        write_sfs_file(out, groups[unflushed[1]:])
     return groups

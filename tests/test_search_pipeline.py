@@ -70,3 +70,17 @@ def test_search_device_matches_host(pipeline_data):
     dev_groups = run_search(cfg_dev, index, bam=smoothed)
     assert [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in host_groups] \
         == [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in dev_groups]
+
+
+def test_search_omax_flush_no_duplicates(pipeline_data):
+    # --omax deferred-output buffering (ping_pong.cpp:344-355): tiny
+    # max_output forces a flush on every emit; the final drain must not
+    # re-write already-flushed groups
+    chroms, hap1, smoothed, index, _ = pipeline_data
+    big = _io.StringIO()
+    run_search(Config(use_device=False, max_output=10**9), index,
+               bam=smoothed, out=big)
+    tiny = _io.StringIO()
+    run_search(Config(use_device=False, max_output=1), index,
+               bam=smoothed, out=tiny)
+    assert tiny.getvalue() == big.getvalue()
