@@ -28,6 +28,10 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="run the search on the host instead of the TPU")
     p.add_argument("--lanes", type=int, default=2048,
                    help="device search batch width (default: 2048)")
+    p.add_argument("--engine", choices=("auto", "anchor", "fm"),
+                   default="auto",
+                   help="device search engine (default: auto = anchor "
+                        "tables when present, else FM rank walk)")
 
 
 def _cfg(args: argparse.Namespace) -> Config:
@@ -37,6 +41,7 @@ def _cfg(args: argparse.Namespace) -> Config:
         verbose=getattr(args, "verbose", False),
         use_device=not getattr(args, "no_device", False),
         lanes=getattr(args, "lanes", 2048),
+        engine=getattr(args, "engine", "auto"),
     )
     for field in ("accp", "min_mapq", "min_sv_length", "min_cluster_weight",
                   "clipped", "max_output"):
@@ -54,6 +59,43 @@ def _cfg(args: argparse.Namespace) -> Config:
     return cfg
 
 
+def _anchor_path(index_path: str) -> str:
+    return index_path + ".anchor.npz"
+
+
+def _build_anchor(chroms, index_path: str, cmax: int) -> None:
+    """Build + persist the anchor-engine tables next to the FMD index
+    (narrow-coordinate texts only; the FM engine covers the rest)."""
+    import time as _time
+    from .index.fmd import genome_text
+    from .ops.anchor import build_anchor_index
+    text = genome_text(chroms)
+    if len(text) >= 2 ** 31:
+        logger.info("index: text %d symbols >= 2^31 — anchor tables "
+                    "skipped (FM engine only)", len(text))
+        return
+    t0 = _time.time()
+    aidx = build_anchor_index(text, cmax=cmax)
+    aidx.save(_anchor_path(index_path))
+    logger.info("index: anchor tables (k=%d, j0=%d) built in %.1fs -> %s",
+                aidx.k, aidx.j0, _time.time() - t0,
+                _anchor_path(index_path))
+
+
+def _load_anchor(cfg: Config, index_path: str):
+    """The persisted anchor tables, when present and wanted."""
+    if not cfg.use_device or cfg.engine == "fm":
+        return None
+    path = _anchor_path(index_path)
+    if not os.path.exists(path):
+        if cfg.engine == "anchor":
+            raise SystemExit(f"--engine anchor: {path} not found "
+                             "(rebuild the index)")
+        return None
+    from .ops.anchor import AnchorIndex
+    return AnchorIndex.load(path)
+
+
 def cmd_index(args) -> int:
     from .io.fasta import load_chromosomes
     from .index.fmd import build_index
@@ -63,6 +105,8 @@ def cmd_index(args) -> int:
     idx = build_index(chroms, threads=getattr(args, "threads", 1) or 1)
     idx.save(args.index)
     logger.info("index: %d BWT symbols -> %s", idx.n, args.index)
+    if getattr(args, "engine", "auto") != "fm":
+        _build_anchor(chroms, args.index, Config().anchor_cmax)
     return 0
 
 
@@ -84,11 +128,12 @@ def cmd_search(args) -> int:
     cfg = _cfg(args)
     pid, pcount = init_distributed()
     index = FMDIndex.load(args.index)
+    anchor = _load_anchor(cfg, args.index)
     path = sfs_shard_path(args.out, pid, pcount) if args.out else None
     out = open(path, "w") if path else sys.stdout
     try:
         run_search(cfg, index, bam=args.bam, fastx=args.fastx, out=out,
-                   shard=(pid, pcount))
+                   shard=(pid, pcount), anchor=anchor)
     finally:
         if path:
             out.close()
@@ -183,6 +228,9 @@ def cmd_run(args) -> int:
             os.replace(index_path + ".tmp.npz", index_path)
             logger.info("run: index built in %.1fs (%d symbols)",
                         _time.time() - t0, index.n)
+        if cfg.use_device and cfg.engine != "fm" \
+                and not os.path.exists(_anchor_path(index_path)):
+            _build_anchor(chroms, index_path, cfg.anchor_cmax)
         if not os.path.exists(smoothed_path):
             # artifacts are written to a temp name and renamed on success,
             # so an interrupted stage re-runs instead of resuming a
@@ -196,10 +244,11 @@ def cmd_run(args) -> int:
     if index is None:
         index = FMDIndex.load(index_path)
     if not sfs_exists:
+        anchor = _load_anchor(cfg, index_path)
         shard_path = sfs_shard_path(sfs_path, pid, pcount)
         with open(shard_path + ".tmp", "w") as fh:
             run_search(cfg, index, bam=smoothed_path, out=fh,
-                       shard=(pid, pcount))
+                       shard=(pid, pcount), anchor=anchor)
         os.replace(shard_path + ".tmp", shard_path)
         if pcount > 1:
             barrier("sfs_written")
@@ -245,6 +294,10 @@ def main(argv=None) -> int:
     p.add_argument("--reference", required=True)
     p.add_argument("--index", required=True)
     p.add_argument("--threads", type=int, default=4)
+    p.add_argument("--engine", choices=("auto", "anchor", "fm"),
+                   default="auto",
+                   help="also build anchor-engine tables (auto/anchor; "
+                        "fm = FMD index only)")
     p.set_defaults(func=cmd_index)
 
     p = sub.add_parser("smooth", help="smooth a BAM against the reference")

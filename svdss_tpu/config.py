@@ -66,6 +66,13 @@ class Config:
     # device execution
     lanes: int = 2048                 # lockstep ping-pong batch width
     use_device: bool = True           # False -> pure-host reference path
+    engine: str = "auto"              # device search engine: "fm" (rank
+                                      # walk), "anchor" (k-mer anchor +
+                                      # text verify), "auto" = anchor when
+                                      # its tables exist / are buildable
+    anchor_cmax: int = 16             # anchor engine: max occurrences
+                                      # verified per k-mer before the lane
+                                      # falls back to the exact FM path
     kmer_jump: int = 0                # k-mer jump-start table size (0 = off,
                                       # the measured default: the per-step
                                       # table gather outweighs the ~5-10%

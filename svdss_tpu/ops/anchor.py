@@ -97,6 +97,23 @@ class AnchorIndex:
         bm = self.levels[j]
         return bool((bm[key >> 5] >> (key & 31)) & 1)
 
+    def save(self, path: str) -> None:
+        """Persist alongside the FMD index (uncompressed npz: load is
+        mmap-speed, and the tables don't compress usefully anyway)."""
+        np.savez(path, text=self.text, meta=self.meta,
+                 poslist=self.poslist, cmax=np.int32(self.cmax),
+                 k=np.int32(self.k), j0=np.int32(self.j0),
+                 level_js=np.asarray(sorted(self.levels), dtype=np.int32),
+                 **{f"level_{j}": bm for j, bm in self.levels.items()})
+
+    @classmethod
+    def load(cls, path: str) -> "AnchorIndex":
+        z = np.load(path)
+        levels = {int(j): z[f"level_{int(j)}"] for j in z["level_js"]}
+        return cls(text=z["text"], k=int(z["k"]), j0=int(z["j0"]),
+                   meta=z["meta"], poslist=z["poslist"], levels=levels,
+                   cmax=int(z["cmax"]))
+
 
 def build_anchor_index(text: np.ndarray, k: Optional[int] = None,
                        cmax: int = DEFAULT_CMAX) -> AnchorIndex:
@@ -105,22 +122,39 @@ def build_anchor_index(text: np.ndarray, k: Optional[int] = None,
     if k is None:
         k = pick_k(n)
     assert n < 2 ** 31, "anchor tables are narrow-coordinate (v1)"
-    # one rolling pass: rawkeys[p] = base-4 value of the k symbols ending
-    # at p (junk where the window is dirty), clean[p] = ACGT run length
-    # ending at p. key_j = rawkeys mod 4^j wherever clean >= j — older
-    # symbols contribute multiples of 4^j and vanish mod 4^j.
-    t = text.astype(np.int64)
-    rawkeys = np.zeros(n, dtype=np.int64)
-    for j in range(k):
-        sh = np.zeros_like(t)
-        sh[j:] = t[: n - j] if j else t
-        rawkeys += (sh - 1) * (4 ** j)
+    # rawkeys[p] = base-4 value of the k symbols ending at p (junk where
+    # the window is dirty), clean[p] = ACGT run length ending at p.
+    # key_j = rawkeys mod 4^j wherever clean >= j — older symbols
+    # contribute multiples of 4^j and vanish mod 4^j. Built by doubling
+    # (value of an (a+b)-window = a-window shifted by b digits + b-window)
+    # in O(log k) passes instead of k.
+    def _shift_combine(a: np.ndarray, b: np.ndarray, mb: int) -> np.ndarray:
+        out = b.copy()
+        out[mb:] += a[: n - mb] << (2 * mb)
+        return out
+
+    pow2 = {1: text.astype(np.int64) - 1}
+    m = 1
+    while m * 2 <= k:
+        pow2[m * 2] = _shift_combine(pow2[m], pow2[m], m)
+        m *= 2
+    rawkeys, width = None, 0
+    for b in sorted(pow2, reverse=True):
+        if not k & b:
+            continue
+        if rawkeys is None:
+            rawkeys, width = pow2[b], b
+        else:
+            rawkeys = _shift_combine(rawkeys, pow2[b], b)
+            width += b
+    del pow2
     bad = (text < 1) | (text > 4)
     last_bad = np.maximum.accumulate(
         np.where(bad, np.arange(n, dtype=np.int64), -1))
     clean = np.arange(n, dtype=np.int64) - last_bad
     valid = clean >= k
-    vkeys = rawkeys[valid]
+    vkeys = rawkeys[valid].astype(np.int32)   # < 4^14: int32 radix-sorts
+                                              # ~1.4x faster than int64
     starts = (np.nonzero(valid)[0] - (k - 1)).astype(np.int32)
     counts = np.bincount(vkeys, minlength=4 ** k).astype(np.int32)
     # poslist grouped by key (counting sort); singletons inline in meta

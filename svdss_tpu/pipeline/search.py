@@ -146,15 +146,32 @@ def eligible_reads_fastx(path: str) -> Iterator[Tuple[str, str, int]]:
 
 
 class _DeviceSearcher:
-    """Length-bucketed batching onto the lockstep device kernel."""
+    """Length-bucketed batching onto the lockstep device kernel.
 
-    def __init__(self, index: FMDIndex, config: Config):
-        from ..ops.fmd_jax import DeviceFMDIndex
+    Two engines share the same batching/fallback shell: the FM rank walk
+    (ops/pingpong_jax.py) and the anchor-verify state machine
+    (ops/anchor_jax.py) — the latter resolves ~25-130 walked bases per
+    three gathered rows instead of one row per base, and routes its
+    rare unresolvable lanes (N in a key window, over-cmax k-mers) through
+    the same exact host fallback as overflow lanes."""
+
+    def __init__(self, index: FMDIndex, config: Config, anchor=None):
         from ..utils.device import init_device_runtime
         init_device_runtime()
         self.index = index
-        self.dev = DeviceFMDIndex.from_host(index)
         self.config = config
+        self.anchor = None
+        self.dev = None
+        if anchor is not None and config.engine in ("auto", "anchor"):
+            from ..ops.anchor_jax import build_device_anchor
+            self.anchor, self.anchor_params = build_device_anchor(anchor)
+            logger.info("search: anchor engine (k=%d, tables %.2f GiB)",
+                        self.anchor_params.k,
+                        (self.anchor.small.nbytes +
+                         self.anchor.text_rows.nbytes) / 2 ** 30)
+        else:
+            from ..ops.fmd_jax import DeviceFMDIndex
+            self.dev = DeviceFMDIndex.from_host(index)
         self.lanes = config.lanes
         self.cap = config.max_sfs_per_read
         self.fallbacks = 0
@@ -162,7 +179,8 @@ class _DeviceSearcher:
         self.jump_k = 0
         self.jump_table = None
         self._compiled_buckets = set()
-        if config.kmer_jump and index.n >= (1 << 22):
+        if self.dev is not None and config.kmer_jump \
+                and index.n >= (1 << 22):
             from ..ops.fmd_jax import build_jump_table
             import time as _time
             t0 = _time.time()
@@ -190,7 +208,12 @@ class _DeviceSearcher:
         while len(padded) < self.lanes:
             padded.append(np.ones(1, dtype=np.uint8))
         seqs, lens = pack_reads(padded, pad_to=L)
-        if self.jump_k:
+        if self.anchor is not None:
+            from ..ops.anchor_jax import batch_search_anchor
+            res = batch_search_anchor(self.anchor, self.anchor_params,
+                                      seqs, lens, cap=self.cap,
+                                      overlap=self.config.overlap)
+        elif self.jump_k:
             from ..utils.seq import kmer_keys
             keys = kmer_keys(np.asarray(seqs), self.jump_k)
             res = batch_search(self.dev, seqs, lens, cap=self.cap,
@@ -238,7 +261,7 @@ class _DeviceSearcher:
 
 def run_search(config: Config, index: FMDIndex,
                bam: Optional[str] = None, fastx: Optional[str] = None,
-               out=None, shard: Tuple[int, int] = (0, 1)
+               out=None, shard: Tuple[int, int] = (0, 1), anchor=None
                ) -> List[Tuple[str, List[SFS]]]:
     """Run the search stage; returns (and optionally writes) per-read SFSs.
 
@@ -260,7 +283,8 @@ def run_search(config: Config, index: FMDIndex,
         from ..parallel.distributed import shard_reads
         reads = shard_reads(reads, shard[0], shard[1])
 
-    searcher = _DeviceSearcher(index, config) if config.use_device else None
+    searcher = _DeviceSearcher(index, config, anchor) \
+        if config.use_device else None
 
     groups: List[Tuple[str, List[SFS]]] = []
     t0 = time.time()

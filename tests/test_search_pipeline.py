@@ -84,3 +84,18 @@ def test_search_omax_flush_no_duplicates(pipeline_data):
     run_search(Config(use_device=False, max_output=1), index,
                bam=smoothed, out=tiny)
     assert tiny.getvalue() == big.getvalue()
+
+
+def test_search_anchor_engine_matches_host(pipeline_data):
+    # the anchor-verify device engine through the full search stage ==
+    # the host FM path, including its host-fallback lanes
+    from svdss_tpu.index.fmd import genome_text
+    from svdss_tpu.ops.anchor import build_anchor_index
+    chroms, hap1, smoothed, index, _ = pipeline_data
+    anchor = build_anchor_index(genome_text(chroms))
+    host_groups = run_search(Config(use_device=False), index, bam=smoothed)
+    a_groups = run_search(Config(use_device=True, lanes=16,
+                                 max_sfs_per_read=128),
+                          index, bam=smoothed, anchor=anchor)
+    assert [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in host_groups] \
+        == [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in a_groups]

@@ -27,7 +27,7 @@ def main() -> int:
     ap.add_argument("--reads", type=int, default=4096)
     ap.add_argument("--read-len", type=int, default=10_000)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--cap", type=int, default=128)
+    ap.add_argument("--cap", type=int, default=512)
     ap.add_argument("--sample", type=int, default=32)
     ap.add_argument("--cmax", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
@@ -54,14 +54,23 @@ def main() -> int:
                                       args.read_len)
     reads, lens = make_reads(genome_arr, args.reads, args.read_len)
 
-    genome = {"bench": genome_arr.tobytes().decode()}
-    text = genome_text(genome)
-    t0 = time.time()
-    aidx = build_anchor_index(text, cmax=args.cmax)
-    t_build = time.time() - t0
-    print(f"[anchor-bench] host anchor build: {t_build:.1f}s "
-          f"(k={aidx.k}, j0={aidx.j0}, poslist={len(aidx.poslist)})",
-          flush=True)
+    from svdss_tpu.ops.anchor import AnchorIndex
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))),
+        f".bench_anchor_{args.genome_bp}_{args.cmax}.npz")
+    if os.path.exists(cache):
+        aidx = AnchorIndex.load(cache)
+        print(f"[anchor-bench] loaded cached anchor index", flush=True)
+    else:
+        genome = {"bench": genome_arr.tobytes().decode()}
+        text = genome_text(genome)
+        t0 = time.time()
+        aidx = build_anchor_index(text, cmax=args.cmax)
+        t_build = time.time() - t0
+        print(f"[anchor-bench] host anchor build: {t_build:.1f}s "
+              f"(k={aidx.k}, j0={aidx.j0}, poslist={len(aidx.poslist)})",
+              flush=True)
+        aidx.save(cache)
     t0 = time.time()
     didx, params = build_device_anchor(aidx)
     jax.block_until_ready(didx.small)
@@ -71,16 +80,18 @@ def main() -> int:
 
     seqs_j = jnp.asarray(reads)
     lens_j = jnp.asarray(lens)
+    # NOTE: under the axon tunnel block_until_ready does not synchronize;
+    # timing must materialize device results to the host (np.asarray)
     t0 = time.time()
     res = batch_search_anchor(didx, params, seqs_j, lens_j, cap=args.cap)
-    jax.block_until_ready(res.n_sfs)
+    np.asarray(res.n_sfs)
     warm = time.time() - t0
     times = []
     for _ in range(args.iters):
         t0 = time.time()
         res = batch_search_anchor(didx, params, seqs_j, lens_j,
                                   cap=args.cap)
-        jax.block_until_ready(res.n_sfs)
+        np.asarray(res.n_sfs)
         times.append(time.time() - t0)
     inc = np.asarray(res.incomplete)
     n_sfs = int(np.asarray(res.n_sfs)[~inc].sum())
@@ -92,7 +103,7 @@ def main() -> int:
 
     # spot-check vs serial anchor + FM oracle
     qs = np.asarray(res.qs)
-    ls = np.asarray(res.sfs_len)
+    ls = np.asarray(res.length)
     nn = np.asarray(res.n_sfs)
     bad = 0
     for i in range(min(args.sample, args.reads)):
