@@ -136,16 +136,24 @@ KEY, SUB, POS, VER = 0, 1, 2, 3
 
 
 @functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",
-                                             "overlap"))
+                                             "overlap", "ver_budget"))
 def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
                         seqs: jax.Array, lens: jax.Array, cap: int = 128,
                         max_rounds: int = 0,
-                        overlap: int = -1) -> PingPongResult:
+                        overlap: int = -1,
+                        ver_budget: int = 24) -> PingPongResult:
     """Anchor-verify ping-pong over a padded read batch.
 
     seqs: [Q, L+1] uint8 nt6, 0-padded; lens: [Q]. Returns the same
     PingPongResult as pingpong_jax.batch_search; ``incomplete`` lanes
     (fallback or budget) must be re-run on the exact host path.
+
+    ver_budget bounds the occurrence-verify rounds a single matching-
+    statistics phase may spend (a read in a repeat-dense region can owe
+    cmax occurrences x many 128-symbol extension rounds per phase —
+    measured: 3/4096 bench lanes spin ~60k lockstep rounds while every
+    other lane finishes inside ~2k). Over-budget lanes flag ``incomplete``
+    and take the exact host path like every other fallback; 0 disables.
     """
     k, j0, cmax = params.k, params.j0, params.cmax
     Q, Lp1 = seqs.shape
@@ -180,6 +188,7 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
         overflow=jnp.zeros(Q, dtype=bool),
         out_qs=jnp.zeros((Q, cap), dtype=jnp.int32),
         out_l=jnp.zeros((Q, cap), dtype=jnp.int32),
+        pv=jnp.zeros(Q, dtype=jnp.int32),     # VER rounds this phase
     )
 
     bm_bases = jnp.asarray(
@@ -343,6 +352,13 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
             anc_restart = e_new + overlap
         restart = emit & ~emit_done
 
+        # ---- per-phase verify budget: a lane still verifying past
+        # ver_budget rounds (repeat-dense region) takes the host path
+        pv2 = jnp.where(is_key, 0, jnp.where(is_ver, s["pv"] + 1, s["pv"]))
+        if ver_budget:
+            fb_new = fb_new | (is_ver & (cont_occ | more_occ)
+                               & (pv2 >= ver_budget))
+
         # ---- state updates
         active2 = s["active"] & ~(prefix_match | emit_done)
         fb2 = s["fb"] | (fb_new & s["active"])
@@ -387,7 +403,7 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
                     cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2, p0=p02,
                     p1=p12, occ_pos=occ_pos2, ext=ext2, best=best2,
                     nsfs=nsfs, overflow=overflow, out_qs=out_qs,
-                    out_l=out_l)
+                    out_l=out_l, pv=pv2)
 
     def cond(s):
         return jnp.any(s["active"] & ~s["fb"]) & (s["rounds"] < max_rounds)
