@@ -141,19 +141,20 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
                         seqs: jax.Array, lens: jax.Array, cap: int = 128,
                         max_rounds: int = 0,
                         overlap: int = -1,
-                        ver_budget: int = 24) -> PingPongResult:
+                        ver_budget: int = 0) -> PingPongResult:
     """Anchor-verify ping-pong over a padded read batch.
 
     seqs: [Q, L+1] uint8 nt6, 0-padded; lens: [Q]. Returns the same
     PingPongResult as pingpong_jax.batch_search; ``incomplete`` lanes
     (fallback or budget) must be re-run on the exact host path.
 
-    ver_budget bounds the occurrence-verify rounds a single matching-
-    statistics phase may spend (a read in a repeat-dense region can owe
-    cmax occurrences x many 128-symbol extension rounds per phase —
-    measured: 3/4096 bench lanes spin ~60k lockstep rounds while every
-    other lane finishes inside ~2k). Over-budget lanes flag ``incomplete``
-    and take the exact host path like every other fallback; 0 disables.
+    ver_budget (0 = off, the default) bounds the occurrence-verify rounds
+    a single matching-statistics phase may spend; over-budget lanes flag
+    ``incomplete`` and take the exact host path. Measured on the bench
+    workload it is NOT worth enabling: every non-overflow lane finishes
+    within ~2k lockstep rounds anyway (the 60k-round spins were emission-
+    buffer-overflow lanes, now deactivated on overflow), while vb=24
+    would needlessly send 8% of lanes to the host.
     """
     k, j0, cmax = params.k, params.j0, params.cmax
     Q, Lp1 = seqs.shape
@@ -360,7 +361,10 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
                                & (pv2 >= ver_budget))
 
         # ---- state updates
-        active2 = s["active"] & ~(prefix_match | emit_done)
+        # overflowed lanes are host-redone regardless — deactivate at once
+        # (measured: 3 overflow lanes otherwise spin an entire 4096-lane
+        # batch from ~2k rounds to the 60k budget)
+        active2 = s["active"] & ~(prefix_match | emit_done | overflow)
         fb2 = s["fb"] | (fb_new & s["active"])
         dir2 = jnp.where(to_fwd, 1, jnp.where(restart, 0, dir_))
         anc2 = jnp.where(to_fwd, b_new, jnp.where(restart, anc_restart,

@@ -353,6 +353,10 @@ def batch_search(index: DeviceFMDIndex, seqs: jax.Array, lens: jax.Array,
         out_l = jnp.where(m, vl, s["out_l"])
         overflow = s["overflow"] | (nsfs + nstage > cap)
         nsfs = jnp.minimum(nsfs + nstage, cap)
+        # overflowed lanes are host-redone regardless — stop walking them
+        # rather than letting a few dense lanes spin the whole batch to
+        # the iteration budget
+        active = active & ~overflow
         ns = dict(it=s["it"] + K_INNER, dir=dir_, begin=begin, end=end,
                   pos=pos, sz=sz, active=active, pend=pend,
                   p_rank=p_rank, nsfs=nsfs,

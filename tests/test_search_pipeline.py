@@ -95,7 +95,7 @@ def test_search_anchor_engine_matches_host(pipeline_data):
     anchor = build_anchor_index(genome_text(chroms))
     host_groups = run_search(Config(use_device=False), index, bam=smoothed)
     a_groups = run_search(Config(use_device=True, lanes=16,
-                                 max_sfs_per_read=128),
+                                 max_sfs_per_read=128, engine="anchor"),
                           index, bam=smoothed, anchor=anchor)
     assert [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in host_groups] \
         == [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in a_groups]
