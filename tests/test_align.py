@@ -86,3 +86,24 @@ def test_matches_brute_force_random(rng):
 
 def test_cigar_string():
     assert cigar_to_string([(5, "M"), (2, "I"), (3, "M")]) == "5M2I3M"
+
+
+def test_align_golden_corpus_no_drift():
+    # ksw2 itself is unavailable offline (exact ksw_extd2_sse tie-break
+    # parity is a documented deviation, docs/ARCHITECTURE.md); this gate
+    # pins the traceback tie-break order against a golden corpus so SV
+    # breakpoints cannot move silently between versions.
+    import json, os
+    import numpy as np
+    from svdss_tpu.ops.align import align_dual_gap, cigar_to_string
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "align_corpus.json")
+    with open(path) as fh:
+        cases = json.load(fh)
+    assert len(cases) >= 100
+    for c in cases:
+        q = np.frombuffer(c["q"].encode(), dtype=np.uint8) - ord("0")
+        t = np.frombuffer(c["t"].encode(), dtype=np.uint8) - ord("0")
+        score, cig = align_dual_gap(q, t)
+        assert score == c["score"], c["tag"]
+        assert cigar_to_string(cig) == c["cigar"], c["tag"]
