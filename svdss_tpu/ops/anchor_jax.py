@@ -135,40 +135,9 @@ def _funnel_shift(words: jax.Array, s: jax.Array) -> jax.Array:
 KEY, SUB, POS, VER = 0, 1, 2, 3
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",
-                                             "overlap", "ver_budget"))
-def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
-                        seqs: jax.Array, lens: jax.Array, cap: int = 128,
-                        max_rounds: int = 0,
-                        overlap: int = -1,
-                        ver_budget: int = 0) -> PingPongResult:
-    """Anchor-verify ping-pong over a padded read batch.
-
-    seqs: [Q, L+1] uint8 nt6, 0-padded; lens: [Q]. Returns the same
-    PingPongResult as pingpong_jax.batch_search; ``incomplete`` lanes
-    (fallback or budget) must be re-run on the exact host path.
-
-    ver_budget (0 = off, the default) bounds the occurrence-verify rounds
-    a single matching-statistics phase may spend; over-budget lanes flag
-    ``incomplete`` and take the exact host path. Measured on the bench
-    workload it is NOT worth enabling: every non-overflow lane finishes
-    within ~2k lockstep rounds anyway (the 60k-round spins were emission-
-    buffer-overflow lanes, now deactivated on overflow), while vb=24
-    would needlessly send 8% of lanes to the host.
-    """
-    k, j0, cmax = params.k, params.j0, params.cmax
-    Q, Lp1 = seqs.shape
-    if max_rounds == 0:
-        max_rounds = 6 * (Lp1 - 1) + 64
-    seqs = seqs.astype(jnp.int32)
-    chunks, n_even = _build_chunks(seqs)
-    chunks = _pack_chunks(chunks)          # [Q, nw, 32]
-    n_windows = 2 * n_even - 1
-    lane = jnp.arange(Q, dtype=jnp.int32)
-    cap_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-
-    st = dict(
-        rounds=jnp.int32(0),
+def _lane_reset(Q: int, cap: int, lens: jax.Array) -> dict:
+    """Fresh per-lane search state for lanes with the given lengths."""
+    return dict(
         active=lens >= 1,
         fb=jnp.zeros(Q, dtype=bool),          # needs exact FM fallback
         dir=jnp.zeros(Q, dtype=jnp.int32),    # 0 = BWD, 1 = FWD
@@ -190,13 +159,37 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
         out_qs=jnp.zeros((Q, cap), dtype=jnp.int32),
         out_l=jnp.zeros((Q, cap), dtype=jnp.int32),
         pv=jnp.zeros(Q, dtype=jnp.int32),     # VER rounds this phase
+        age=jnp.zeros(Q, dtype=jnp.int32),    # rounds this lane has run
+        done_r=jnp.full(Q, -1, dtype=jnp.int32),  # round a lane stopped
     )
 
+
+def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
+                     cap: int, overlap: int, ver_budget: int,
+                     Lp1: int, n_even: int, lane_budget: int = 0,
+                     chunks: jax.Array | None = None,
+                     lens: jax.Array | None = None):
+    """One lockstep round over all lanes, shared by the one-shot batch
+    entry point and the persistent-lane pool (ops/anchor_pool.py).
+
+    chunks/lens may be passed as loop-invariant closures (batch mode) or
+    read from the state dict (pool mode, where lane refill rewrites them).
+    lane_budget > 0 adds a per-lane round budget (``age``): a lane still
+    running after that many of ITS OWN rounds flags the exact host
+    fallback — the pool's replacement for batch mode's global max_rounds.
+    """
+    k, j0, cmax = params.k, params.j0, params.cmax
+    n_windows = 2 * n_even - 1
+    cap_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    c_chunks, c_lens = chunks, lens
     bm_bases = jnp.asarray(
         np.asarray((0,) * (j0 + 1) + params.bm_bases + (0,),
                    dtype=np.int32)[:k])  # bm_bases[j] for j in [0, k)
 
     def round_body(s):
+        chunks = c_chunks if c_chunks is not None else s["chunks"]
+        lens = c_lens if c_lens is not None else s["lens"]
+        Q = chunks.shape[0]
         active = s["active"] & ~s["fb"]
         dir_, mode, anc = s["dir"], s["mode"], s["anc"]
         is_b = dir_ == 0
@@ -360,12 +353,20 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
             fb_new = fb_new | (is_ver & (cont_occ | more_occ)
                                & (pv2 >= ver_budget))
 
+        # ---- per-lane round budget (pool mode)
+        age2 = jnp.where(active, s["age"] + 1, s["age"])
+        if lane_budget:
+            fb_new = fb_new | (active & (age2 >= lane_budget))
+
         # ---- state updates
         # overflowed lanes are host-redone regardless — deactivate at once
         # (measured: 3 overflow lanes otherwise spin an entire 4096-lane
         # batch from ~2k rounds to the 60k budget)
         active2 = s["active"] & ~(prefix_match | emit_done | overflow)
         fb2 = s["fb"] | (fb_new & s["active"])
+        stop = (s["active"] & ~s["fb"]) & (~active2 | fb2)
+        done_r2 = jnp.where(stop & (s["done_r"] < 0), s["rounds"] + 1,
+                            s["done_r"])
         dir2 = jnp.where(to_fwd, 1, jnp.where(restart, 0, dir_))
         anc2 = jnp.where(to_fwd, b_new, jnp.where(restart, anc_restart,
                                                   anc))
@@ -402,18 +403,62 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
                                    s["ext"]))
         best2 = jnp.where(is_key, 0, best_new)
 
-        return dict(rounds=s["rounds"] + 1, active=active2, fb=fb2,
-                    dir=dir2, mode=mode2, anc=anc2, key=key2, subj=subj2,
-                    cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2, p0=p02,
-                    p1=p12, occ_pos=occ_pos2, ext=ext2, best=best2,
-                    nsfs=nsfs, overflow=overflow, out_qs=out_qs,
-                    out_l=out_l, pv=pv2)
+        out = dict(rounds=s["rounds"] + 1, active=active2, fb=fb2,
+                   dir=dir2, mode=mode2, anc=anc2, key=key2, subj=subj2,
+                   cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2, p0=p02,
+                   p1=p12, occ_pos=occ_pos2, ext=ext2, best=best2,
+                   nsfs=nsfs, overflow=overflow, out_qs=out_qs,
+                   out_l=out_l, pv=pv2, age=age2, done_r=done_r2)
+        if c_chunks is None:
+            out["chunks"] = chunks
+            out["lens"] = lens
+        return out
+
+    return round_body
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",
+                                             "overlap", "ver_budget",
+                                             "debug_hist"))
+def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
+                        seqs: jax.Array, lens: jax.Array, cap: int = 128,
+                        max_rounds: int = 0,
+                        overlap: int = -1,
+                        ver_budget: int = 0,
+                        debug_hist: bool = False) -> PingPongResult:
+    """Anchor-verify ping-pong over a padded read batch.
+
+    seqs: [Q, L+1] uint8 nt6, 0-padded; lens: [Q]. Returns the same
+    PingPongResult as pingpong_jax.batch_search; ``incomplete`` lanes
+    (fallback or budget) must be re-run on the exact host path.
+
+    ver_budget (0 = off, the default) bounds the occurrence-verify rounds
+    a single matching-statistics phase may spend; over-budget lanes flag
+    ``incomplete`` and take the exact host path. Measured on the bench
+    workload it is NOT worth enabling: every non-overflow lane finishes
+    within ~2k lockstep rounds anyway (the 60k-round spins were emission-
+    buffer-overflow lanes, now deactivated on overflow), while vb=24
+    would needlessly send 8% of lanes to the host.
+    """
+    Q, Lp1 = seqs.shape
+    if max_rounds == 0:
+        max_rounds = 6 * (Lp1 - 1) + 64
+    seqs = seqs.astype(jnp.int32)
+    chunks, n_even = _build_chunks(seqs)
+    chunks = _pack_chunks(chunks)          # [Q, nw, 32]
+
+    st = dict(rounds=jnp.int32(0), **_lane_reset(Q, cap, lens))
+    round_body = _make_round_body(index, params, cap, overlap, ver_budget,
+                                  Lp1, n_even, chunks=chunks, lens=lens)
 
     def cond(s):
         return jnp.any(s["active"] & ~s["fb"]) & (s["rounds"] < max_rounds)
 
     final = jax.lax.while_loop(cond, round_body, st)
     incomplete = final["fb"] | final["active"]
-    return PingPongResult(qs=final["out_qs"], length=final["out_l"],
-                          n_sfs=final["nsfs"], overflow=final["overflow"],
-                          incomplete=incomplete, iters=final["rounds"])
+    res = PingPongResult(qs=final["out_qs"], length=final["out_l"],
+                         n_sfs=final["nsfs"], overflow=final["overflow"],
+                         incomplete=incomplete, iters=final["rounds"])
+    if debug_hist:
+        return res, final["done_r"]
+    return res

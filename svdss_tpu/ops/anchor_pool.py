@@ -1,0 +1,200 @@
+"""Persistent-lane streaming driver for the anchor-verify engine.
+
+The one-shot ``batch_search_anchor`` runs a whole Q-lane batch to
+completion: every lockstep round pays the full Q-lane gather set (the
+entire cost of search on this hardware) while only the still-active
+lanes do useful work, so batch time is max(per-lane rounds) but useful
+work is mean(per-lane rounds). On the bench workload the finish-round
+distribution is heavy-tailed (mean ~300, max ~2600), i.e. most of the
+gather traffic in the tail is wasted on finished lanes.
+
+This driver instead keeps a fixed pool of Q lanes resident on the
+device and streams reads through it:
+
+  * ``_step``    — run up to R lockstep rounds (early-exits when no
+                   lane is runnable); the big state stays on device,
+                   buffers donated so supersteps update in place;
+  * ``_status``  — one [Q] uint8 transfer: 1 = still running;
+  * ``_extract`` — gather the out rows of finished slots (fixed-size
+                   chunks so only a handful of shapes compile);
+  * ``_load``    — scatter fresh reads into free slots (chunk packing
+                   runs on device; padding slots use scatter
+                   mode='drop').
+
+Per-lane state machines are independent — lockstep only shares
+scheduling — so results are bit-identical to ``batch_search_anchor``
+(asserted by tests/test_anchor_pool.py). Per-lane round budgets
+(``age`` >= lane_budget -> exact host fallback) replace batch mode's
+global max_rounds.
+
+Reference role: ping_pong.cpp:325-380's double-buffered OpenMP batch
+loop — the TPU-native form is lane refill instead of batch swap, which
+also removes the straggler tax the reference never had (its threads
+pick up new reads the moment one finishes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .anchor_jax import (AnchorParams, DeviceAnchorIndex, _lane_reset,
+                         _make_round_body)
+from .pingpong_jax import CHUNK, STRIDE, _build_chunks, _pack_chunks
+
+
+def _pool_shapes(Lp1: int) -> Tuple[int, int]:
+    """(n_even, n_windows_rows) of the chunk table for padded width Lp1."""
+    w = ((Lp1 + STRIDE - 1) // STRIDE + 2) * STRIDE
+    w = ((w + CHUNK - 1) // CHUNK) * CHUNK
+    n_even = w // CHUNK
+    return n_even, 2 * n_even - 1
+
+
+class AnchorPool:
+    """Streams an unbounded read sequence through Q resident device lanes.
+
+    Yields results in completion order as ``(ordinal, pairs | None)``
+    where ``None`` means the read needs the exact host fallback
+    (unresolvable k-mer window / over-cmax repeat / emission overflow /
+    round budget). ``ordinal`` is the read's position in the input
+    stream.
+    """
+
+    def __init__(self, index: DeviceAnchorIndex, params: AnchorParams,
+                 lanes: int, read_len: int, cap: int = 128,
+                 overlap: int = -1, rounds_per_step: int = 96,
+                 refill: int = 512, extract: int = 256,
+                 lane_budget: int = 0):
+        self.index = index
+        self.params = params
+        self.Q = lanes
+        self.Lp1 = read_len + 1
+        self.cap = cap
+        self.R = rounds_per_step
+        self.M = min(refill, lanes)
+        self.E = min(extract, lanes)
+        if lane_budget == 0:
+            lane_budget = 6 * read_len + 64
+        self.lane_budget = lane_budget
+        n_even, _ = _pool_shapes(self.Lp1)
+        self.n_even = n_even
+        body = _make_round_body(index, params, cap, overlap, 0,
+                                self.Lp1, n_even, lane_budget=lane_budget)
+
+        R = self.R
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state):
+            def cond(c):
+                i, s = c
+                return (i < R) & jnp.any(s["active"] & ~s["fb"])
+
+            def bd(c):
+                i, s = c
+                return i + 1, body(s)
+
+            _, s = jax.lax.while_loop(cond, bd, (jnp.int32(0), state))
+            return s
+
+        @jax.jit
+        def status(state):
+            run = state["active"] & ~state["fb"]
+            return run.astype(jnp.uint8)
+
+        @jax.jit
+        def extract(state, slots):
+            return (state["out_qs"][slots], state["out_l"][slots],
+                    state["nsfs"][slots], state["fb"][slots],
+                    state["overflow"][slots])
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def load(state, seqs, lens_new, slots):
+            chunks, _ = _build_chunks(seqs.astype(jnp.int32))
+            chunks = _pack_chunks(chunks)
+            fresh = _lane_reset(seqs.shape[0], cap, lens_new)
+            out = dict(state)
+            for k, v in fresh.items():
+                out[k] = state[k].at[slots].set(v, mode="drop")
+            out["chunks"] = state["chunks"].at[slots].set(
+                chunks, mode="drop")
+            out["lens"] = state["lens"].at[slots].set(
+                lens_new, mode="drop")
+            return out
+
+        self._step, self._status = step, status
+        self._extract, self._load = extract, load
+        zl = jnp.zeros(self.Q, dtype=jnp.int32)
+        st = dict(rounds=jnp.int32(0), **_lane_reset(self.Q, cap, zl))
+        _, nw = _pool_shapes(self.Lp1)
+        st["chunks"] = jnp.zeros((self.Q, nw, CHUNK // 8), dtype=jnp.int32)
+        st["lens"] = zl
+        self.state = st
+        self.rounds_run = 0
+
+    def run(self, reads: Iterable[np.ndarray]
+            ) -> Iterator[Tuple[int, Optional[List[Tuple[int, int]]]]]:
+        it = enumerate(iter(reads))
+        slot_read: List[Optional[int]] = [None] * self.Q
+        free = list(range(self.Q - 1, -1, -1))
+        pending: List[Tuple[int, np.ndarray]] = []
+        exhausted = False
+
+        def pull(n: int) -> None:
+            nonlocal exhausted
+            while not exhausted and len(pending) < n:
+                try:
+                    pending.append(next(it))
+                except StopIteration:
+                    exhausted = True
+
+        while True:
+            # ---- refill free slots (fixed-shape loads; surplus dropped)
+            pull(len(free))
+            while free and pending:
+                m = min(self.M, len(free), len(pending))
+                seqs = np.zeros((self.M, self.Lp1), dtype=np.uint8)
+                lens = np.zeros(self.M, dtype=np.int32)
+                slots = np.full(self.M, self.Q, dtype=np.int32)  # dropped
+                for j in range(m):
+                    ordn, enc = pending.pop(0)
+                    s = free.pop()
+                    slot_read[s] = ordn
+                    seqs[j, :len(enc)] = enc
+                    lens[j] = len(enc)
+                    slots[j] = s
+                self.state = self._load(self.state, jnp.asarray(seqs),
+                                        jnp.asarray(lens),
+                                        jnp.asarray(slots))
+            occupied = self.Q - len(free)
+            if occupied == 0 and exhausted and not pending:
+                return
+
+            # ---- superstep (async dispatch), then prefetch while it runs
+            self.state = self._step(self.state)
+            pull(min(self.Q, len(free) + occupied))
+            run = np.asarray(self._status(self.state))
+
+            # ---- collect finished slots in fixed-size chunks
+            done = [s for s in range(self.Q)
+                    if slot_read[s] is not None and not run[s]]
+            for base in range(0, len(done), self.E):
+                grp = done[base:base + self.E]
+                slots = np.full(self.E, 0, dtype=np.int32)
+                slots[:len(grp)] = grp
+                qs, ls, nn, fb, ovf = (np.asarray(a) for a in self._extract(
+                    self.state, jnp.asarray(slots)))
+                for j, s in enumerate(grp):
+                    ordn = slot_read[s]
+                    slot_read[s] = None
+                    free.append(s)
+                    if fb[j] or ovf[j]:
+                        yield ordn, None
+                    else:
+                        k = int(nn[j])
+                        yield ordn, list(zip(qs[j, :k].tolist(),
+                                             ls[j, :k].tolist()))
