@@ -32,6 +32,9 @@ def _common(p: argparse.ArgumentParser) -> None:
                    default="auto",
                    help="device search engine (default: auto = anchor "
                         "tables when present, else FM rank walk)")
+    p.add_argument("--no-pool", action="store_true",
+                   help="anchor engine: one-shot batches instead of the "
+                        "persistent-lane pool")
 
 
 def _cfg(args: argparse.Namespace) -> Config:
@@ -42,6 +45,7 @@ def _cfg(args: argparse.Namespace) -> Config:
         use_device=not getattr(args, "no_device", False),
         lanes=getattr(args, "lanes", 2048),
         engine=getattr(args, "engine", "auto"),
+        pool=not getattr(args, "no_pool", False),
     )
     for field in ("accp", "min_mapq", "min_sv_length", "min_cluster_weight",
                   "clipped", "max_output"):

@@ -73,6 +73,11 @@ class Config:
     anchor_cmax: int = 16             # anchor engine: max occurrences
                                       # verified per k-mer before the lane
                                       # falls back to the exact FM path
+    pool: bool = True                 # anchor engine: persistent-lane pool
+                                      # (refill lanes from the stream as
+                                      # they finish) instead of one-shot
+                                      # batches that wait for the slowest
+                                      # lane
     kmer_jump: int = 0                # k-mer jump-start table size (0 = off,
                                       # the measured default: the per-step
                                       # table gather outweighs the ~5-10%

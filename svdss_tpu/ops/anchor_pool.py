@@ -36,7 +36,8 @@ pick up new reads the moment one finishes).
 from __future__ import annotations
 
 import functools
-from typing import Iterable, Iterator, List, Optional, Tuple
+from collections import deque
+from typing import Deque, Iterable, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -135,66 +136,98 @@ class AnchorPool:
         st["lens"] = zl
         self.state = st
         self.rounds_run = 0
+        self._slot_tag: List[Optional[object]] = [None] * self.Q
+        self._free: List[int] = list(range(self.Q - 1, -1, -1))
+        self._queue: Deque[Tuple[object, np.ndarray]] = deque()
+
+    # ---- streaming driver API (pipeline/search.py) --------------------
+
+    @property
+    def queued(self) -> int:
+        return len(self._queue)
+
+    @property
+    def free_slots(self) -> int:
+        return len(self._free)
+
+    @property
+    def occupied(self) -> int:
+        return self.Q - len(self._free)
+
+    def feed(self, tag: object, enc: np.ndarray) -> None:
+        """Queue one nt6-encoded read (len <= read_len) under an opaque
+        tag that comes back with its result."""
+        self._queue.append((tag, enc))
+
+    def _load_from_queue(self) -> None:
+        """Scatter queued reads into free slots (fixed-shape loads so
+        only one load shape compiles; surplus rows are dropped)."""
+        while self._free and self._queue:
+            m = min(self.M, len(self._free), len(self._queue))
+            seqs = np.zeros((self.M, self.Lp1), dtype=np.uint8)
+            lens = np.zeros(self.M, dtype=np.int32)
+            slots = np.full(self.M, self.Q, dtype=np.int32)  # dropped
+            for j in range(m):
+                tag, enc = self._queue.popleft()
+                s = self._free.pop()
+                self._slot_tag[s] = tag
+                seqs[j, :len(enc)] = enc
+                lens[j] = len(enc)
+                slots[j] = s
+            self.state = self._load(self.state, jnp.asarray(seqs),
+                                    jnp.asarray(lens),
+                                    jnp.asarray(slots))
+
+    def pump(self) -> List[Tuple[object, Optional[List[Tuple[int, int]]]]]:
+        """Load queued reads, run one superstep, and return finished
+        reads as (tag, pairs | None) — None means the read needs the
+        exact host fallback (unresolvable k-mer window / over-cmax
+        repeat / emission overflow / round budget)."""
+        self._load_from_queue()
+        if self.occupied == 0:
+            return []
+        self.state = self._step(self.state)
+        self.rounds_run += self.R
+        run = np.asarray(self._status(self.state))
+        done = [s for s in range(self.Q)
+                if self._slot_tag[s] is not None and not run[s]]
+        out: List[Tuple[object, Optional[List[Tuple[int, int]]]]] = []
+        for base in range(0, len(done), self.E):
+            grp = done[base:base + self.E]
+            slots = np.full(self.E, 0, dtype=np.int32)
+            slots[:len(grp)] = grp
+            qs, ls, nn, fb, ovf = (np.asarray(a) for a in self._extract(
+                self.state, jnp.asarray(slots)))
+            for j, s in enumerate(grp):
+                tag = self._slot_tag[s]
+                self._slot_tag[s] = None
+                self._free.append(s)
+                if fb[j] or ovf[j]:
+                    out.append((tag, None))
+                else:
+                    k = int(nn[j])
+                    out.append((tag, list(zip(qs[j, :k].tolist(),
+                                              ls[j, :k].tolist()))))
+        return out
+
+    def drain(self) -> Iterator[Tuple[object,
+                                      Optional[List[Tuple[int, int]]]]]:
+        """Pump until every queued and resident read has finished."""
+        while self._queue or self.occupied:
+            yield from self.pump()
 
     def run(self, reads: Iterable[np.ndarray]
             ) -> Iterator[Tuple[int, Optional[List[Tuple[int, int]]]]]:
         it = enumerate(iter(reads))
-        slot_read: List[Optional[int]] = [None] * self.Q
-        free = list(range(self.Q - 1, -1, -1))
-        pending: List[Tuple[int, np.ndarray]] = []
         exhausted = False
-
-        def pull(n: int) -> None:
-            nonlocal exhausted
-            while not exhausted and len(pending) < n:
+        while True:
+            # lazy pull: keep just enough queued to refill the free slots
+            while not exhausted and self.queued < max(self.free_slots, 1):
                 try:
-                    pending.append(next(it))
+                    tag, enc = next(it)
+                    self.feed(tag, enc)
                 except StopIteration:
                     exhausted = True
-
-        while True:
-            # ---- refill free slots (fixed-shape loads; surplus dropped)
-            pull(len(free))
-            while free and pending:
-                m = min(self.M, len(free), len(pending))
-                seqs = np.zeros((self.M, self.Lp1), dtype=np.uint8)
-                lens = np.zeros(self.M, dtype=np.int32)
-                slots = np.full(self.M, self.Q, dtype=np.int32)  # dropped
-                for j in range(m):
-                    ordn, enc = pending.pop(0)
-                    s = free.pop()
-                    slot_read[s] = ordn
-                    seqs[j, :len(enc)] = enc
-                    lens[j] = len(enc)
-                    slots[j] = s
-                self.state = self._load(self.state, jnp.asarray(seqs),
-                                        jnp.asarray(lens),
-                                        jnp.asarray(slots))
-            occupied = self.Q - len(free)
-            if occupied == 0 and exhausted and not pending:
+            if exhausted and not self._queue and self.occupied == 0:
                 return
-
-            # ---- superstep (async dispatch), then prefetch while it runs
-            self.state = self._step(self.state)
-            pull(min(self.Q, len(free) + occupied))
-            run = np.asarray(self._status(self.state))
-
-            # ---- collect finished slots in fixed-size chunks
-            done = [s for s in range(self.Q)
-                    if slot_read[s] is not None and not run[s]]
-            for base in range(0, len(done), self.E):
-                grp = done[base:base + self.E]
-                slots = np.full(self.E, 0, dtype=np.int32)
-                slots[:len(grp)] = grp
-                qs, ls, nn, fb, ovf = (np.asarray(a) for a in self._extract(
-                    self.state, jnp.asarray(slots)))
-                for j, s in enumerate(grp):
-                    ordn = slot_read[s]
-                    slot_read[s] = None
-                    free.append(s)
-                    if fb[j] or ovf[j]:
-                        yield ordn, None
-                    else:
-                        k = int(nn[j])
-                        yield ordn, list(zip(qs[j, :k].tolist(),
-                                             ls[j, :k].tolist()))
+            yield from self.pump()

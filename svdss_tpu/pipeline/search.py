@@ -331,6 +331,66 @@ def run_search(config: Config, index: FMDIndex,
             if len(batch) >= config.batch_size:
                 flush_host()
         flush_host()
+    elif searcher.anchor is not None and config.pool:
+        # persistent-lane pool: lanes refill from the read stream the
+        # moment they finish, so device time tracks mean (not max)
+        # per-read rounds — see ops/anchor_pool.py. One pool per
+        # read-length bucket (fixed shapes; lockstep round cost is
+        # bucket-independent, only the refill transfer scales).
+        from ..ops.anchor_pool import AnchorPool
+        pools: Dict[int, AnchorPool] = {}
+        order: List[Tuple[str, int]] = []          # ordinal -> (qname, hp)
+        results_store: Dict[int, List[Tuple[int, int]]] = {}
+        enc_store: Dict[int, np.ndarray] = {}      # in-flight + fallback
+        redo: List[int] = []
+
+        def absorb(done) -> None:
+            for tag, pairs in done:
+                if pairs is None:
+                    searcher.fallbacks += 1
+                    redo.append(tag)
+                else:
+                    results_store[tag] = pairs
+                    del enc_store[tag]
+                searcher.device_reads += 1
+            if len(redo) >= 256:
+                flush_redo()
+
+        def flush_redo() -> None:
+            if not redo:
+                return
+            res = host_search_batch(index, [enc_store.pop(i) for i in redo],
+                                    config.overlap, config.threads)
+            for i, r in zip(redo, res):
+                results_store[i] = r
+            redo.clear()
+
+        for qname, seq, hp in _prefetch(reads):
+            enc = encode_nt6(seq)
+            b = _bucket_len(len(enc))
+            pool = pools.get(b)
+            if pool is None:
+                pool = AnchorPool(searcher.anchor, searcher.anchor_params,
+                                  lanes=config.lanes, read_len=b,
+                                  cap=searcher.cap,
+                                  overlap=config.overlap)
+                pools[b] = pool
+                if b not in searcher._compiled_buckets:
+                    searcher._compiled_buckets.add(b)
+                    logger.info("search: first reads for length bucket %d "
+                                "— pool kernels may compile", b)
+            tag = nreads
+            nreads += 1
+            order.append((qname, hp))
+            enc_store[tag] = enc
+            pool.feed(tag, enc)
+            if pool.queued >= (pool.Q if pool.occupied == 0 else pool.M):
+                absorb(pool.pump())
+        for pool in pools.values():
+            absorb(pool.drain())
+        flush_redo()
+        for tag, (qname, hp) in enumerate(order):
+            emit([(qname, hp)], [results_store.pop(tag)])
     else:
         # accumulate per length bucket; flush full batches
         buckets: Dict[int, List] = {}

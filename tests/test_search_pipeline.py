@@ -94,8 +94,12 @@ def test_search_anchor_engine_matches_host(pipeline_data):
     chroms, hap1, smoothed, index, _ = pipeline_data
     anchor = build_anchor_index(genome_text(chroms))
     host_groups = run_search(Config(use_device=False), index, bam=smoothed)
-    a_groups = run_search(Config(use_device=True, lanes=16,
-                                 max_sfs_per_read=128, engine="anchor"),
-                          index, bam=smoothed, anchor=anchor)
-    assert [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in host_groups] \
-        == [(q, [(s.qs, s.l, s.htag) for s in g]) for q, g in a_groups]
+    host_norm = [(q, [(s.qs, s.l, s.htag) for s in g])
+                 for q, g in host_groups]
+    for pool in (True, False):   # persistent-lane pool and one-shot batch
+        a_groups = run_search(Config(use_device=True, lanes=16,
+                                     max_sfs_per_read=128, engine="anchor",
+                                     pool=pool),
+                              index, bam=smoothed, anchor=anchor)
+        assert [(q, [(s.qs, s.l, s.htag) for s in g])
+                for q, g in a_groups] == host_norm

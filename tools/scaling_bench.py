@@ -20,11 +20,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import socket
 import subprocess
 import sys
 import tempfile
 import time
+from typing import Tuple
 
 import numpy as np
 
@@ -63,7 +65,15 @@ def make_workload(wd: str, n_reads: int, read_len: int) -> dict:
     return {"ref": ref, "bam": bam, "idx": idx, "n_reads": len(recs)}
 
 
-def run_procs(work: dict, wd: str, nprocs: int, device: bool) -> float:
+_STAGE_RE = re.compile(r"search: (\d+) reads in ([0-9.]+)s")
+
+
+def run_procs(work: dict, wd: str, nprocs: int, device: bool,
+              threads: int) -> Tuple[float, float, str]:
+    """One P-process run. Returns (wall_s, stage_s, out_path) where
+    stage_s is max over processes of the in-process search-stage time
+    (excludes interpreter/jax startup — the per-process constant that on
+    a real pod is paid once per job, not per read)."""
     out = os.path.join(wd, f"sfs_p{nprocs}.txt")
     port = _free_port()
     t0 = time.time()
@@ -79,17 +89,22 @@ def run_procs(work: dict, wd: str, nprocs: int, device: bool) -> float:
         })
         env.pop("PALLAS_AXON_POOL_IPS", None)
         cmd = [sys.executable, "-m", "svdss_tpu.cli", "search",
-               "--index", work["idx"], "--bam", work["bam"], "--out", out]
+               "--index", work["idx"], "--bam", work["bam"], "--out", out,
+               "--threads", str(threads)]
         if not device:
             cmd.append("--no-device")
         procs.append(subprocess.Popen(cmd, cwd=REPO, env=env,
                                       stdout=subprocess.DEVNULL,
                                       stderr=subprocess.PIPE))
+    stage = 0.0
     for pid, p in enumerate(procs):
         _, err = p.communicate(timeout=1800)
         if p.returncode != 0:
             raise RuntimeError(f"proc {pid} failed:\n{err.decode()[-2000:]}")
-    return time.time() - t0
+        m = _STAGE_RE.search(err.decode())
+        if m:
+            stage = max(stage, float(m.group(2)))
+    return time.time() - t0, stage, out
 
 
 def main() -> int:
@@ -101,6 +116,10 @@ def main() -> int:
                     help="use the device search path in each process "
                          "(default: host path — CPU-bound, so process "
                          "scaling on a multicore box is genuine)")
+    ap.add_argument("--threads", type=int, default=1,
+                    help="host threads per process (default 1 so P "
+                         "processes use P cores — oversubscribing the "
+                         "box measures contention, not scaling)")
     args = ap.parse_args()
     plist = [int(x) for x in args.procs.split(",")]
 
@@ -108,26 +127,43 @@ def main() -> int:
         work = make_workload(wd, args.reads, args.read_len)
         print(f"[scaling] workload: {work['n_reads']} reads x "
               f"{args.read_len}bp", file=sys.stderr)
-        results = {}
+        results, stages, outs = {}, {}, {}
         for p in plist:
             # warm run discarded first time (compile/import noise)
-            dt = run_procs(work, wd, p, args.device)
-            dt = min(dt, run_procs(work, wd, p, args.device))
-            results[p] = dt
-            print(f"[scaling] P={p}: {dt:.1f}s "
-                  f"({work['n_reads']/dt:.1f} reads/s)", file=sys.stderr)
-        base = results[plist[0]] * plist[0]
+            run_procs(work, wd, p, args.device, args.threads)
+            dt, st, out = run_procs(work, wd, p, args.device, args.threads)
+            results[p], stages[p], outs[p] = dt, st, out
+            print(f"[scaling] P={p}: wall {dt:.1f}s, search stage "
+                  f"{st:.2f}s ({work['n_reads']/max(st, 1e-9):.1f} "
+                  f"reads/s)", file=sys.stderr)
+        # shard-merge correctness: every P produces the same SFS set
+        def canon(path):
+            with open(path) as fh:
+                name, lines = None, []
+                for ln in fh:
+                    f = ln.split("\t")
+                    name = f[0] if f[0] != "*" else name
+                    lines.append((name,) + tuple(f[1:]))
+            return sorted(lines)
+        base_out = canon(outs[plist[0]])
+        merged_equal = all(canon(outs[p]) == base_out for p in plist[1:])
+        base = stages[plist[0]] * plist[0]
         report = {
             "metric": "search_multiprocess_scaling",
             "n_reads": work["n_reads"],
             "read_len": args.read_len,
+            "threads_per_proc": args.threads,
             "wall_s": {str(p): round(t, 2) for p, t in results.items()},
-            "reads_per_s": {str(p): round(work["n_reads"] / t, 1)
-                            for p, t in results.items()},
-            "efficiency": {str(p): round(base / (p * results[p]), 3)
+            "stage_s": {str(p): round(t, 2) for p, t in stages.items()},
+            "reads_per_s": {str(p): round(work["n_reads"] / stages[p], 1)
+                            for p in plist},
+            "efficiency": {str(p): round(base / (p * stages[p]), 3)
                            for p in plist},
+            "merged_outputs_identical": merged_equal,
         }
         print(json.dumps(report))
+        if not merged_equal:
+            return 1
     return 0
 
 
