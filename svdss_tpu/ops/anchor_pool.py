@@ -84,13 +84,16 @@ class AnchorPool:
         self.lane_budget = lane_budget
         n_even, _ = _pool_shapes(self.Lp1)
         self.n_even = n_even
-        body = _make_round_body(index, params, cap, overlap, 0,
-                                self.Lp1, n_even, lane_budget=lane_budget)
+        Lp1, R = self.Lp1, self.R
 
-        R = self.R
+        # the index rides as a jit ARGUMENT (committed device arrays), not
+        # a closure capture — captured GB-scale tables become compile-time
+        # constants, which XLA copies into the executable
+        @functools.partial(jax.jit, donate_argnums=1)
+        def step(idx, state):
+            body = _make_round_body(idx, params, cap, overlap, 0,
+                                    Lp1, n_even, lane_budget=lane_budget)
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def step(state):
             def cond(c):
                 i, s = c
                 return (i < R) & jnp.any(s["active"] & ~s["fb"])
@@ -127,7 +130,8 @@ class AnchorPool:
                 lens_new, mode="drop")
             return out
 
-        self._step, self._status = step, status
+        self._step = lambda state: step(self.index, state)
+        self._status = status
         self._extract, self._load = extract, load
         zl = jnp.zeros(self.Q, dtype=jnp.int32)
         st = dict(rounds=jnp.int32(0), **_lane_reset(self.Q, cap, zl))
