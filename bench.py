@@ -236,7 +236,7 @@ def main() -> int:
         aidx = build_anchor(genome_arr, args.genome_bp)
         didx, params = build_device_anchor(aidx)
         print(f"[bench] anchor tables: "
-              f"{(didx.small.nbytes + didx.text_rows.nbytes) / 2**30:.2f} "
+              f"{(didx.small.nbytes + didx.text_words.nbytes) / 2**30:.2f} "
               f"GiB (k={params.k})", file=sys.stderr)
     jump_kw = {}
     if args.jump_k:

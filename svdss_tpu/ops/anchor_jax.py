@@ -1,17 +1,46 @@
-"""Lockstep anchor-verify SFS search on device.
+"""Lockstep anchor-verify SFS search on device (v2: forward-only machine).
 
 Device implementation of ops/anchor.py (whose serial form is pinned
 against the FM oracle). Each lane is a restart-level state machine —
 KEY (k-mer meta lookup), SUB (presence-bitmap cascade), POS (occurrence
 list), VER (direct text comparison) — instead of the per-base FM walk of
-ops/pingpong_jax.py. A round costs THREE gathered rows per lane (read
-chunk, small-table row, text row) and resolves ~25-130 bases of walk,
-versus one row per single base for the FM loop; the gather row count is
-the entire cost of search on this hardware (~61 ns/row HBM, measured), so
-rounds-per-read is the figure of merit.
+ops/pingpong_jax.py: a round resolves ~25-130 bases of walk against a
+handful of gathered rows, versus one gathered row per single base for
+the FM loop.
 
-Table layout (one fused "small" array so KEY/SUB/POS lanes share a single
-gather):
+v2 redesign (all decisions measured on the v1 engine at the bench shape,
+359 us/round at Q=4096 — see docs/VALIDATION.md):
+
+* **Forward-only**: the backward ping-pong phase at anchor r asks for
+  ms(r) = max m: P[r-m+1..r] occurs in the two-strand text. Because the
+  two-strand substring set is closed under reverse complement (every
+  occurrence on one strand is an occurrence of the RC on the other,
+  bijectively — the same symmetry behind the FMD bi-interval), that
+  equals the *forward* matching statistic of RC(P) at the mirrored
+  cursor L-1-r, with identical occurrence counts (so cmax/fallback
+  semantics are preserved bit-for-bit). Each lane carries nibble-packed
+  words of both P and RC(P); a phase picks its side by direction and
+  the whole machine — key extraction, bitmap cascade, occurrence
+  verify — has a single forward code path.
+
+* **Row-shaped gathers only**: XLA lowers fixed-size ROW gathers
+  ([rows, W] indexed by a [Q] vector, or take_along_axis on a per-lane
+  row table) to ~35-55 ns/lane on this hardware, while variable-offset
+  slice gathers from a flat array lower ~20x worse (1169 ns/lane
+  measured for a 17-word slice). Reads and text are therefore stored
+  as 256-symbol nibble-packed span rows at 128-symbol stride (32 int32
+  words per row); a round gathers one read row (take_along_axis on the
+  lane's own chunk table) and one text row, aligns the text row to the
+  read row's phase with a packed funnel shift, and compares 128+
+  symbols per round with a nibble XOR.
+
+* **Staged emission**: SFS emissions land in a tiny [Q, STAGE] buffer
+  via one-hot writes and are merged into the [Q, cap] outputs once per
+  STAGE_EVERY rounds — full-width [Q, cap] one-hot writes every round
+  measured ~40 us/round at cap=512.
+
+Table layout ("small" is unchanged from v1 — one fused array so
+KEY/SUB/POS lanes share a single gather):
 
     rows [0, 4^k)        meta: (count, aux) per k-mer — aux is the single
                          occurrence position when count == 1, else the
@@ -20,16 +49,14 @@ gather):
     rows [bm_base_j, ..) presence bitmaps for levels j0 < j < k, packed
                          two uint32 words per row
 
-plus ``text_rows`` [nrow, 32]: 256-symbol spans of the nt6 text at
-128-symbol stride, nibble-packed in chunk order (position p of a span in
-word p>>3, nibble p&7 — the same packing as the read chunks, so the
-verify compare is a per-lane funnel shift + nibble XOR).
-
 Lanes that need the exact FM fallback (non-ACGT in a key window, k-mer
 count above cmax, round budget exhausted) set ``incomplete``; callers
 re-run those reads through the native host engine, exactly like device
 overflow lanes in pipeline/search.py. Emission order and values are
 bit-identical to the host oracle for all completed lanes.
+
+Reference role: ping_pong.cpp:4-49 (ping_pong_search) — the semantics
+reformulated as matching statistics; see ops/anchor.py.
 """
 
 from __future__ import annotations
@@ -43,16 +70,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from .anchor import AnchorIndex
-from .pingpong_jax import (PingPongResult, _build_chunks, _pack_chunks,
-                           _chunk_index, _chunk_select_packed)
+from .pingpong_jax import PingPongResult
 
-TEXT_SPAN = 256
-TEXT_STRIDE = 128
+SPAN = 256        # symbols per span row
+STRIDE = 128      # span stride in symbols
+SPAN_W = 32       # int32 words per span row
+VER_SPAN = 128    # minimum guaranteed symbols compared per VER round
+STAGE = 8         # emission staging slots
+STAGE_EVERY = 8   # rounds between staging merges (>= STAGE/1 emits/round)
+
+# lane modes
+KEY, SUB, POS, VER = 0, 1, 2, 3
 
 
 class DeviceAnchorIndex(NamedTuple):
     small: jax.Array        # [X, 2] int32 (meta ++ poslist ++ bitmaps)
-    text_rows: jax.Array    # [nrow, 32] int32 nibble-packed spans
+    text_words: jax.Array   # [nrow, 32] int32 nibble-packed span rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +96,22 @@ class AnchorParams:
     n: int
     pos_base: int                 # row offset of the poslist pairs
     bm_bases: Tuple[int, ...]     # row offset per level j0+1 .. k-1
+
+
+def pack_text_words(text: np.ndarray) -> np.ndarray:
+    """nt6 uint8 [n] -> [nrow, 32] int32 span rows: row m holds the 256
+    symbols from 128*m, nibble-packed (position p of a span in word p>>3,
+    nibble p&7). Out-of-range reads land in zero padding (compare miss)."""
+    n = len(text)
+    nrow = n // STRIDE + 1
+    sym = np.zeros((nrow + 1) * STRIDE, dtype=np.uint8)
+    sym[:n] = text
+    spans = np.lib.stride_tricks.as_strided(
+        sym, shape=(nrow, SPAN), strides=(STRIDE, 1)).astype(np.uint32)
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    words = (spans.reshape(nrow, SPAN // 8, 8)
+             << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
+    return words.astype(np.int32)
 
 
 def build_device_anchor(aidx: AnchorIndex
@@ -84,35 +133,19 @@ def build_device_anchor(aidx: AnchorIndex
         bm_bases.append(row)
         row += len(parts[-1])
     small = np.concatenate(parts) if len(parts) > 1 else parts[0]
-
-    n = aidx.n
-    nrow = n // TEXT_STRIDE + 1
-    sym = np.zeros((nrow + 1) * TEXT_STRIDE, dtype=np.uint8)
-    sym[:n] = aidx.text
-    spans = np.lib.stride_tricks.as_strided(
-        sym, shape=(nrow, TEXT_SPAN), strides=(TEXT_STRIDE, 1)).astype(
-        np.uint32)
-    shifts = np.arange(8, dtype=np.uint32) * 4
-    words = (spans.reshape(nrow, TEXT_SPAN // 8, 8)
-             << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
     dev = DeviceAnchorIndex(small=jnp.asarray(small),
-                            text_rows=jnp.asarray(words.astype(np.int32)))
-    params = AnchorParams(k=k, j0=j0, cmax=aidx.cmax, n=n,
+                            text_words=jnp.asarray(pack_text_words(
+                                aidx.text)))
+    params = AnchorParams(k=k, j0=j0, cmax=aidx.cmax, n=aidx.n,
                           pos_base=pos_base, bm_bases=tuple(bm_bases))
     return dev, params
 
 
-def _unpack_seq(words: jax.Array) -> jax.Array:
-    """[Q, 32] chunk-packed words -> [Q, 256] symbols (word p>>3,
-    nibble p&7)."""
-    rep = jnp.repeat(words, 8, axis=1)
-    sh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1) & 7) * 4
-    return jax.lax.shift_right_logical(rep, sh) & 0xF
-
+# --------------------------------------------------------- word utilities
 
 def _funnel_shift(words: jax.Array, s: jax.Array) -> jax.Array:
-    """Per-lane nibble shift: out[q, c] = in-symbol at position c + s[q]
-    (on the [Q, 32] packed representation; OOB positions become 0)."""
+    """Per-lane nibble shift on packed spans: out symbol at position c =
+    in symbol at position c + s (on [Q, 32] packed words; OOB -> 0)."""
     q, W = words.shape
     ws = s >> 3                       # whole-word shift (arithmetic floor)
     r4 = (s & 7) * 4                  # sub-word nibble shift in bits
@@ -131,16 +164,65 @@ def _funnel_shift(words: jax.Array, s: jax.Array) -> jax.Array:
     return lo | hi
 
 
-# lane modes
-KEY, SUB, POS, VER = 0, 1, 2, 3
+def _select_sym(span: jax.Array, off: jax.Array) -> jax.Array:
+    """Per-lane symbol at packed span position off (off in [0, 256)):
+    one-hot over 32 words + a variable nibble shift."""
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, SPAN_W), 1)
+              == (off >> 3)[:, None])
+    word = jnp.sum(jnp.where(onehot, span, 0), axis=1, dtype=jnp.int32)
+    return jax.lax.shift_right_logical(word, (off & 7) * 4) & 0xF
 
 
-def _lane_reset(Q: int, cap: int, lens: jax.Array) -> dict:
+def words_per_lane(lp1: int) -> int:
+    """Flat packed word count per read side (multiple of 16 so the span
+    view covers the whole read plus slack)."""
+    return 16 * ((lp1 + 127) // 128 + 1)
+
+
+def pack_read_words(seqs: jax.Array, lens: jax.Array, wlp: int
+                    ) -> jax.Array:
+    """[Q, Lp1] uint8 nt6 + lens -> [Q, 2, wlp] int32 flat words: side 0
+    the read, side 1 its reverse complement (the backward-phase view),
+    both zero-padded. Runs on device (used by the pool's push step)."""
+    q, lp1 = seqs.shape
+    s = seqs.astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (q, lp1), 1)
+    rci = jnp.clip(lens[:, None] - 1 - pos, 0, lp1 - 1)
+    rev = jnp.take_along_axis(s, rci, axis=1)
+    # nt6 complement: 0,5 fixed; A<->T, C<->G  (5 - c for 1..4)
+    rc = jnp.where((rev >= 1) & (rev <= 4), 5 - rev, rev)
+    rc = jnp.where(pos < lens[:, None], rc, 0)
+
+    def pack(x):
+        padw = wlp * 8 - lp1
+        xp = jnp.concatenate(
+            [x, jnp.zeros((q, padw), dtype=jnp.int32)], axis=1)
+        nib = xp.reshape(q, wlp, 8)
+        sh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2) * 4
+        return jnp.sum(nib << sh, axis=2, dtype=jnp.int32)
+
+    return jnp.stack([pack(s), pack(rc)], axis=1)
+
+
+def derive_chunks(words: jax.Array) -> jax.Array:
+    """[Q, 2, wlp] flat words -> [Q, 2, nwm, 32] overlapping span rows:
+    row m covers words [16m, 16m + 32) = symbols [128m, 128m + 256)."""
+    q, two, wlp = words.shape
+    w16 = words.reshape(q, two, wlp // 16, 16)
+    return jnp.concatenate([w16[:, :, :-1, :], w16[:, :, 1:, :]], axis=3)
+
+
+def chunk_rows(lp1: int) -> int:
+    """Span rows per read side for a given padded width."""
+    return words_per_lane(lp1) // 16 - 1
+
+
+def _lane_reset(Q: int, lens: jax.Array) -> dict:
     """Fresh per-lane search state for lanes with the given lengths."""
     return dict(
         active=lens >= 1,
         fb=jnp.zeros(Q, dtype=bool),          # needs exact FM fallback
-        dir=jnp.zeros(Q, dtype=jnp.int32),    # 0 = BWD, 1 = FWD
+        dirb=jnp.ones(Q, dtype=jnp.int32),    # 1 = BWD (on RC read)
         mode=jnp.full(Q, KEY, dtype=jnp.int32),
         anc=(lens - 1).astype(jnp.int32),     # BWD: r; FWD: b
         key=jnp.zeros(Q, dtype=jnp.int32),
@@ -156,32 +238,34 @@ def _lane_reset(Q: int, cap: int, lens: jax.Array) -> dict:
         best=jnp.zeros(Q, dtype=jnp.int32),
         nsfs=jnp.zeros(Q, dtype=jnp.int32),
         overflow=jnp.zeros(Q, dtype=bool),
-        out_qs=jnp.zeros((Q, cap), dtype=jnp.int32),
-        out_l=jnp.zeros((Q, cap), dtype=jnp.int32),
-        pv=jnp.zeros(Q, dtype=jnp.int32),     # VER rounds this phase
+        nstage=jnp.zeros(Q, dtype=jnp.int32),
+        stage_qs=jnp.zeros((Q, STAGE), dtype=jnp.int32),
+        stage_l=jnp.zeros((Q, STAGE), dtype=jnp.int32),
         age=jnp.zeros(Q, dtype=jnp.int32),    # rounds this lane has run
         done_r=jnp.full(Q, -1, dtype=jnp.int32),  # round a lane stopped
     )
 
 
 def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
-                     cap: int, overlap: int, ver_budget: int,
-                     Lp1: int, n_even: int, lane_budget: int = 0,
-                     chunks: jax.Array | None = None,
+                     overlap: int, nwm: int,
+                     lane_budget: jax.Array | int | str = 0,
+                     read_chunks: jax.Array | None = None,
                      lens: jax.Array | None = None):
     """One lockstep round over all lanes, shared by the one-shot batch
     entry point and the persistent-lane pool (ops/anchor_pool.py).
 
-    chunks/lens may be passed as loop-invariant closures (batch mode) or
-    read from the state dict (pool mode, where lane refill rewrites them).
-    lane_budget > 0 adds a per-lane round budget (``age``): a lane still
-    running after that many of ITS OWN rounds flags the exact host
-    fallback — the pool's replacement for batch mode's global max_rounds.
+    read_chunks [Q, 2, nwm, 32] / lens may be loop-invariant closures
+    (batch mode) or read from the state dict (pool mode, where lane
+    refill rewrites them). lane_budget adds a per-lane round budget
+    (``age``): a lane still running after that many of ITS OWN rounds
+    flags the exact host fallback — 0 disables, an int is a shared
+    budget, and the string "state" reads the per-lane ``budget`` vector
+    from the state dict (pool mode, where refill rewrites it per read
+    length).
     """
     k, j0, cmax = params.k, params.j0, params.cmax
-    n_windows = 2 * n_even - 1
-    cap_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-    c_chunks, c_lens = chunks, lens
+    stage_iota = jax.lax.broadcasted_iota(jnp.int32, (1, STAGE), 1)
+    c_chunks, c_lens = read_chunks, lens
     bm_bases = jnp.asarray(
         np.asarray((0,) * (j0 + 1) + params.bm_bases + (0,),
                    dtype=np.int32)[:k])  # bm_bases[j] for j in [0, k)
@@ -190,9 +274,12 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         chunks = c_chunks if c_chunks is not None else s["chunks"]
         lens = c_lens if c_lens is not None else s["lens"]
         Q = chunks.shape[0]
-        active = s["active"] & ~s["fb"]
-        dir_, mode, anc = s["dir"], s["mode"], s["anc"]
-        is_b = dir_ == 0
+        # lanes whose emission stage is full freeze until the merge pass
+        active = s["active"] & ~s["fb"] & (s["nstage"] < STAGE)
+        dirb, mode, anc = s["dirb"], s["mode"], s["anc"]
+        is_b = dirb == 1
+        # forward cursor on the working side (RC read for BWD phases)
+        u = jnp.where(is_b, lens - 1 - anc, anc)
         maxlen = jnp.where(is_b, anc + 1, lens - anc)
         mk = jnp.minimum(k, maxlen)
         is_key = active & (mode == KEY)
@@ -200,51 +287,39 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         is_pos = active & (mode == POS)
         is_ver = active & (mode == VER)
 
-        # ---- read chunk fetch (gather 1)
-        a_ver = jnp.where(is_b, anc - k - s["ext"], anc + k + s["ext"])
-        cursor = jnp.where(is_ver, a_ver, anc)
-        cursor = jnp.clip(cursor, 0, Lp1 - 1)
-        m_win = jnp.where(is_b, (cursor - 127) >> 7, cursor >> 7)
-        m_win = jnp.clip(m_win, 0, n_windows - 1)
-        ci = _chunk_index(m_win, n_even)
-        chunk = jnp.take_along_axis(chunks, ci[:, None, None],
+        # ---- read-row gather (gather 1): KEY lanes read at u, VER
+        # lanes at u + k + ext; both forward on the working side
+        rstart = jnp.where(is_ver, u + k + s["ext"], u)
+        m_r = jnp.clip(rstart >> 7, 0, nwm - 1)
+        merged = chunks.reshape(Q, 2 * nwm, SPAN_W)
+        row = dirb * nwm + m_r
+        chunk = jnp.take_along_axis(merged, row[:, None, None],
                                     axis=1)[:, 0]          # [Q, 32]
-        base = m_win * TEXT_STRIDE
+        col_a = rstart - (m_r << 7)
 
-        # ---- KEY: extract k symbols and validity around the anchor
-        # BWD window ends at anc (symbol i at anc-i); FWD window starts at
-        # anc (symbol i at anc+k-1-i). Low key digits are the last symbols.
+        # ---- KEY: k symbols P'[u..u+k-1] from the span row
+        # key digit i = symbol P'[u + k-1-i] (build convention: window
+        # ending at p, last symbol at 4^0 — anchor.py text_keys)
         key = jnp.zeros(Q, dtype=jnp.int32)
-        validm = jnp.zeros(Q, dtype=jnp.int32)   # bit i set = symbol i ok
+        validm = jnp.zeros(Q, dtype=jnp.int32)   # bit i: symbol u+i ok
         for i in range(k):
-            p = jnp.where(is_b, anc - i, anc + (k - 1) - i)
-            off = jnp.clip(p - base, 0, TEXT_SPAN - 1)
-            sym = _chunk_select_packed(chunk, off)
-            inb = (p >= 0) & (p < lens)
-            ok = inb & (sym >= 1) & (sym <= 4)
-            key = key + ((sym - 1) << (2 * i))
+            sym = _select_sym(chunk, col_a + i)
+            ok = (sym >= 1) & (sym <= 4)
+            key = key | (jnp.clip(sym - 1, 0, 3) << (2 * (k - 1 - i)))
             validm = validm | jnp.where(ok, jnp.int32(1) << i, 0)
-        # BWD needs symbols i < mk valid; FWD needs i >= k - mk
-        need_lo = jnp.where(is_b, 0, k - mk)
-        need_mask = jnp.where(
-            mk >= 32, jnp.int32(-1),
-            ((jnp.int32(1) << mk) - 1)) << need_lo
+        need_mask = jnp.where(mk >= 31, jnp.int32(2 ** 31 - 1),
+                              (jnp.int32(1) << mk) - 1)
         clean = (validm & need_mask) == need_mask
 
         floor_case = is_key & (maxlen <= j0)
-        fb_new = is_key & ~clean & ~floor_case
-        # floor lanes still require their window clean
-        fb_new = fb_new | (floor_case & ~clean)
+        fb_new = is_key & ~clean
         use_meta = is_key & clean & (maxlen >= k)
         to_sub_short = is_key & clean & (maxlen > j0) & (maxlen < k)
 
         # ---- small-table gather (gather 2): per-mode row index
-        # SUB uses the key captured at KEY time (stored). Level keys:
-        # BWD = last j symbols (low digits); FWD = first j (high digits).
-        key_j_b = s["key"] & ((jnp.int32(1) << (2 * s["subj"])) - 1)
-        key_j_f = jax.lax.shift_right_logical(
+        # SUB level key = first j symbols = high digits of the k-key
+        key_j = jax.lax.shift_right_logical(
             s["key"], 2 * (k - jnp.clip(s["subj"], 1, k)))
-        key_j = jnp.where(is_b, key_j_b, key_j_f)
         w_idx = jax.lax.shift_right_logical(key_j, 5)
         bm_row = bm_bases[jnp.clip(s["subj"], 0, k - 1)] + (w_idx >> 1)
         pos_row = params.pos_base + ((s["aux"] + s["occ_i"]) >> 1)
@@ -254,32 +329,31 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         srow = index.small[jnp.clip(srow_idx, 0, index.small.shape[0] - 1)]
         s0, s1 = srow[:, 0], srow[:, 1]
 
-        # ---- text gather (gather 3) + verify compare
-        tp = jnp.where(is_b, s["occ_pos"] - 1 - s["ext"],
-                       s["occ_pos"] + k + s["ext"])
-        t_row = jnp.where(is_b, (tp - 127) >> 7, tp >> 7)
-        t_row = jnp.clip(t_row, 0, index.text_rows.shape[0] - 1)
-        trow = index.text_rows[jnp.where(is_ver, t_row, 0)]
-        col_a = jnp.clip(cursor - base, 0, TEXT_SPAN - 1)
-        col_t = tp - t_row * TEXT_STRIDE
-        sshift = col_t - col_a
-        shifted = _funnel_shift(trow, sshift)
+        # ---- text-row gather (gather 3) + verify compare: align the
+        # text span to the read span's phase, then nibble-XOR; the first
+        # mismatch offset (relative to col_a) bounds this round's run
+        tstart = s["occ_pos"] + k + s["ext"]
+        tr = jnp.clip(tstart >> 7, 0, index.text_words.shape[0] - 1)
+        trow = index.text_words[jnp.where(is_ver, tr, 0)]   # [Q, 32]
+        col_t = tstart - (tr << 7)
+        shifted = _funnel_shift(trow, col_t - col_a)
         x = shifted ^ chunk
+        # zero-nibble detect (nibbles are XORs of nt6 values, <= 7, so
+        # the +7 carry never crosses a nibble boundary)
         zm = ~(x + jnp.int32(0x77777777)) & jnp.int32(-0x77777778)
-        rep = jnp.repeat(zm, 8, axis=1)
+        rep = jnp.repeat(zm, 8, axis=1)              # [Q, 256]
         bitsh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
                  & 7) * 4 + 3
         eq = (jax.lax.shift_right_logical(rep, bitsh) & 1) == 1
-        cc = jax.lax.broadcasted_iota(jnp.int32, (1, TEXT_SPAN), 1)
-        dist = jnp.where(is_b[:, None], col_a[:, None] - cc,
-                         cc - col_a[:, None])
+        cc = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
+        dist = cc - col_a[:, None]
         mism = ~eq & (dist >= 0)
-        first = jnp.min(jnp.where(mism, dist, TEXT_SPAN), axis=1)
+        first = jnp.min(jnp.where(mism, dist, SPAN), axis=1)
         vcap = maxlen - k
         run_cap = vcap - s["ext"]
-        run = jnp.minimum(jnp.minimum(first, 128), run_cap)
+        run = jnp.minimum(jnp.minimum(first, VER_SPAN), run_cap)
         ext_new = s["ext"] + jnp.maximum(run, 0)
-        cont_occ = is_ver & (first >= 128) & (ext_new < vcap)
+        cont_occ = is_ver & (first >= VER_SPAN) & (ext_new < vcap)
         occ_done = is_ver & ~cont_occ
         best_new = jnp.where(occ_done, jnp.maximum(s["best"], ext_new),
                              s["best"])
@@ -291,15 +365,15 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         occ_i2 = jnp.where(more_occ, s["occ_i"] + 1, s["occ_i"])
         nrow_idx = (s["aux"] + occ_i2) >> 1
         cached = more_occ & (nrow_idx == s["prow"])
-        occ_from_cache = jnp.where((s["aux"] + occ_i2) & 1, s["p1"], s["p0"])
+        occ_from_cache = jnp.where((s["aux"] + occ_i2) & 1, s["p1"],
+                                   s["p0"])
 
         # ---- SUB resolution
         bm_word = jnp.where((w_idx & 1) == 1, s1, s0)
         bit_set = (jax.lax.shift_right_logical(bm_word, key_j & 31)
                    & 1) == 1
-        present = is_sub & bit_set
-        sub_present = is_sub & present
-        sub_down = is_sub & ~present
+        sub_present = is_sub & bit_set
+        sub_down = is_sub & ~bit_set
         subj_next = jnp.where(sub_down, s["subj"] - 1, s["subj"])
         sub_floor = sub_down & (subj_next <= j0)
         sub_resolve = sub_present | sub_floor
@@ -331,14 +405,13 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         to_fwd = b_res & ~prefix_match
         b_new = anc - m_res
 
-        # FWD: e = anc + m; emit (anc, e - anc + 1)
+        # FWD: e = anc + m; emit (anc, m + 1) into the staging buffer
         e_new = anc + m_res
         emit = f_res
-        onehot = (cap_iota == s["nsfs"][:, None]) & emit[:, None]
-        out_qs = jnp.where(onehot, anc[:, None], s["out_qs"])
-        out_l = jnp.where(onehot, (m_res + 1)[:, None], s["out_l"])
-        overflow = s["overflow"] | (emit & (s["nsfs"] >= cap))
-        nsfs = jnp.where(emit, jnp.minimum(s["nsfs"] + 1, cap), s["nsfs"])
+        onehot = (stage_iota == s["nstage"][:, None]) & emit[:, None]
+        stage_qs = jnp.where(onehot, anc[:, None], s["stage_qs"])
+        stage_l = jnp.where(onehot, (m_res + 1)[:, None], s["stage_l"])
+        nstage = jnp.where(emit, s["nstage"] + 1, s["nstage"])
         emit_done = emit & (anc == 0)
         if overlap == 0:
             anc_restart = anc - 1
@@ -346,30 +419,23 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
             anc_restart = e_new + overlap
         restart = emit & ~emit_done
 
-        # ---- per-phase verify budget: a lane still verifying past
-        # ver_budget rounds (repeat-dense region) takes the host path
-        pv2 = jnp.where(is_key, 0, jnp.where(is_ver, s["pv"] + 1, s["pv"]))
-        if ver_budget:
-            fb_new = fb_new | (is_ver & (cont_occ | more_occ)
-                               & (pv2 >= ver_budget))
-
-        # ---- per-lane round budget (pool mode)
+        # ---- per-lane round budget
         age2 = jnp.where(active, s["age"] + 1, s["age"])
-        if lane_budget:
+        if isinstance(lane_budget, str):
+            fb_new = fb_new | (active & (age2 >= s["budget"]))
+        elif not (isinstance(lane_budget, int) and lane_budget == 0):
             fb_new = fb_new | (active & (age2 >= lane_budget))
 
         # ---- state updates
-        # overflowed lanes are host-redone regardless — deactivate at once
-        # (measured: 3 overflow lanes otherwise spin an entire 4096-lane
-        # batch from ~2k rounds to the 60k budget)
-        active2 = s["active"] & ~(prefix_match | emit_done | overflow)
+        active2 = s["active"] & ~(prefix_match | emit_done)
         fb2 = s["fb"] | (fb_new & s["active"])
-        stop = (s["active"] & ~s["fb"]) & (~active2 | fb2)
+        runnable_before = s["active"] & ~s["fb"]
+        stop = runnable_before & (~active2 | fb2)
         done_r2 = jnp.where(stop & (s["done_r"] < 0), s["rounds"] + 1,
                             s["done_r"])
-        dir2 = jnp.where(to_fwd, 1, jnp.where(restart, 0, dir_))
-        anc2 = jnp.where(to_fwd, b_new, jnp.where(restart, anc_restart,
-                                                  anc))
+        dir2 = jnp.where(to_fwd, 0, jnp.where(restart, 1, dirb))
+        anc2 = jnp.where(to_fwd, b_new,
+                         jnp.where(restart, anc_restart, anc))
         mode2 = jnp.where(to_fwd | restart, KEY, mode)
         # KEY dispatch (only when not resolving this round)
         mode2 = jnp.where(k_empty, SUB, mode2)
@@ -403,58 +469,91 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
                                    s["ext"]))
         best2 = jnp.where(is_key, 0, best_new)
 
-        out = dict(rounds=s["rounds"] + 1, active=active2, fb=fb2,
-                   dir=dir2, mode=mode2, anc=anc2, key=key2, subj=subj2,
+        out = dict(s)
+        out.update(rounds=s["rounds"] + 1, active=active2, fb=fb2,
+                   dirb=dir2, mode=mode2, anc=anc2, key=key2, subj=subj2,
                    cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2, p0=p02,
                    p1=p12, occ_pos=occ_pos2, ext=ext2, best=best2,
-                   nsfs=nsfs, overflow=overflow, out_qs=out_qs,
-                   out_l=out_l, pv=pv2, age=age2, done_r=done_r2)
-        if c_chunks is None:
-            out["chunks"] = chunks
-            out["lens"] = lens
+                   nstage=nstage, stage_qs=stage_qs, stage_l=stage_l,
+                   age=age2, done_r=done_r2)
         return out
 
     return round_body
 
 
+def _merge_stage(s: dict, cap: int) -> dict:
+    """Drain each lane's emission staging buffer into the [Q, cap]
+    outputs (in order) with a per-lane scatter; runs once per
+    STAGE_EVERY rounds rather than every round (a full-width [Q, cap]
+    one-hot write per round measured ~40 us at cap=512)."""
+    nsfs, nstage = s["nsfs"], s["nstage"]
+    Q = nsfs.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Q, STAGE), 0)
+    js = jax.lax.broadcasted_iota(jnp.int32, (Q, STAGE), 1)
+    cols = nsfs[:, None] + js
+    valid = (js < nstage[:, None]) & (cols < cap)
+    cols = jnp.where(valid, cols, cap)
+    out = dict(s)
+    out["out_qs"] = s["out_qs"].at[rows, cols].set(s["stage_qs"],
+                                                   mode="drop")
+    out["out_l"] = s["out_l"].at[rows, cols].set(s["stage_l"],
+                                                 mode="drop")
+    overflow = s["overflow"] | (nsfs + nstage > cap)
+    out["overflow"] = overflow
+    out["nsfs"] = jnp.minimum(nsfs + nstage, cap)
+    out["nstage"] = jnp.zeros_like(nstage)
+    # overflowed lanes are host-redone regardless — deactivate at once
+    # (measured: a few overflow lanes otherwise spin the whole batch to
+    # the round budget)
+    out["active"] = s["active"] & ~overflow
+    out["done_r"] = jnp.where((s["done_r"] < 0) & overflow, s["rounds"],
+                              s["done_r"])
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",
-                                             "overlap", "ver_budget",
-                                             "debug_hist"))
+                                             "overlap", "debug_hist"))
 def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
                         seqs: jax.Array, lens: jax.Array, cap: int = 128,
                         max_rounds: int = 0,
                         overlap: int = -1,
-                        ver_budget: int = 0,
                         debug_hist: bool = False) -> PingPongResult:
     """Anchor-verify ping-pong over a padded read batch.
 
     seqs: [Q, L+1] uint8 nt6, 0-padded; lens: [Q]. Returns the same
     PingPongResult as pingpong_jax.batch_search; ``incomplete`` lanes
     (fallback or budget) must be re-run on the exact host path.
-
-    ver_budget (0 = off, the default) bounds the occurrence-verify rounds
-    a single matching-statistics phase may spend; over-budget lanes flag
-    ``incomplete`` and take the exact host path. Measured on the bench
-    workload it is NOT worth enabling: every non-overflow lane finishes
-    within ~2k lockstep rounds anyway (the 60k-round spins were emission-
-    buffer-overflow lanes, now deactivated on overflow), while vb=24
-    would needlessly send 8% of lanes to the host.
     """
     Q, Lp1 = seqs.shape
     if max_rounds == 0:
         max_rounds = 6 * (Lp1 - 1) + 64
-    seqs = seqs.astype(jnp.int32)
-    chunks, n_even = _build_chunks(seqs)
-    chunks = _pack_chunks(chunks)          # [Q, nw, 32]
+    wlp = words_per_lane(Lp1)
+    chunks = derive_chunks(pack_read_words(seqs, lens, wlp))
 
-    st = dict(rounds=jnp.int32(0), **_lane_reset(Q, cap, lens))
-    round_body = _make_round_body(index, params, cap, overlap, ver_budget,
-                                  Lp1, n_even, chunks=chunks, lens=lens)
+    st = dict(rounds=jnp.int32(0),
+              out_qs=jnp.zeros((Q, cap), dtype=jnp.int32),
+              out_l=jnp.zeros((Q, cap), dtype=jnp.int32),
+              **_lane_reset(Q, lens))
+    round_body = _make_round_body(index, params, overlap, chunk_rows(Lp1),
+                                  read_chunks=chunks, lens=lens)
 
-    def cond(s):
+    def outer_cond(s):
         return jnp.any(s["active"] & ~s["fb"]) & (s["rounds"] < max_rounds)
 
-    final = jax.lax.while_loop(cond, round_body, st)
+    def inner_cond(s):
+        return (jnp.any(s["active"] & ~s["fb"] & (s["nstage"] < STAGE))
+                & (s["rounds"] < max_rounds)
+                & (s["rounds"] < s["stage_at"] + STAGE_EVERY))
+
+    def outer_body(s):
+        s = dict(s)
+        s["stage_at"] = s["rounds"]
+        s = jax.lax.while_loop(inner_cond, round_body, s)
+        s = _merge_stage(s, cap)
+        return s
+
+    st["stage_at"] = jnp.int32(0)
+    final = jax.lax.while_loop(outer_cond, outer_body, st)
     incomplete = final["fb"] | final["active"]
     res = PingPongResult(qs=final["out_qs"], length=final["out_l"],
                          n_sfs=final["nsfs"], overflow=final["overflow"],

@@ -175,7 +175,7 @@ class _DeviceSearcher:
             logger.info("search: anchor engine (k=%d, tables %.2f GiB)",
                         self.anchor_params.k,
                         (self.anchor.small.nbytes +
-                         self.anchor.text_rows.nbytes) / 2 ** 30)
+                         self.anchor.text_words.nbytes) / 2 ** 30)
         else:
             from ..ops.fmd_jax import DeviceFMDIndex
             self.dev = DeviceFMDIndex.from_host(index)
@@ -332,17 +332,38 @@ def run_search(config: Config, index: FMDIndex,
                 flush_host()
         flush_host()
     elif searcher.anchor is not None and config.pool:
-        # persistent-lane pool: lanes refill from the read stream the
-        # moment they finish, so device time tracks mean (not max)
-        # per-read rounds — see ops/anchor_pool.py. One pool per
-        # read-length bucket (fixed shapes; lockstep round cost is
-        # bucket-independent, only the refill transfer scales).
+        # persistent-lane pool: lanes refill from the device-side
+        # reservoir the superstep they finish, so device time tracks
+        # mean (not max) per-read rounds — see ops/anchor_pool.py. ONE
+        # pool serves every read-length bucket (lockstep round cost is
+        # width-independent; only the refill transfer scales), recreated
+        # at a wider shape if a longer bucket appears mid-stream.
         from ..ops.anchor_pool import AnchorPool
-        pools: Dict[int, AnchorPool] = {}
+        pool: Optional[AnchorPool] = None
         order: List[Tuple[str, int]] = []          # ordinal -> (qname, hp)
         results_store: Dict[int, List[Tuple[int, int]]] = {}
         enc_store: Dict[int, np.ndarray] = {}      # in-flight + fallback
         redo: List[int] = []
+        emitted = [0]                              # next ordinal to emit
+
+        def flush_redo() -> None:
+            if not redo:
+                return
+            res = host_search_batch(index, [enc_store.pop(i) for i in redo],
+                                    config.overlap, config.threads)
+            for i, r in zip(redo, res):
+                results_store[i] = r
+            redo.clear()
+
+        def emit_ready() -> None:
+            """Emit the completed prefix in stream order, releasing
+            buffered results incrementally (bounds writer memory on
+            whole-genome runs — the reference's --omax role)."""
+            while emitted[0] in results_store:
+                tag = emitted[0]
+                emitted[0] += 1
+                qname, hp = order[tag]
+                emit([(qname, hp)], [results_store.pop(tag)])
 
         def absorb(done) -> None:
             for tag, pairs in done:
@@ -355,26 +376,18 @@ def run_search(config: Config, index: FMDIndex,
                 searcher.device_reads += 1
             if len(redo) >= 256:
                 flush_redo()
-
-        def flush_redo() -> None:
-            if not redo:
-                return
-            res = host_search_batch(index, [enc_store.pop(i) for i in redo],
-                                    config.overlap, config.threads)
-            for i, r in zip(redo, res):
-                results_store[i] = r
-            redo.clear()
+            emit_ready()
 
         for qname, seq, hp in _prefetch(reads):
             enc = encode_nt6(seq)
             b = _bucket_len(len(enc))
-            pool = pools.get(b)
-            if pool is None:
+            if pool is None or b > pool.Lp1 - 1:
+                if pool is not None:
+                    absorb(pool.drain())
                 pool = AnchorPool(searcher.anchor, searcher.anchor_params,
                                   lanes=config.lanes, read_len=b,
                                   cap=searcher.cap,
                                   overlap=config.overlap)
-                pools[b] = pool
                 if b not in searcher._compiled_buckets:
                     searcher._compiled_buckets.add(b)
                     logger.info("search: first reads for length bucket %d "
@@ -384,13 +397,13 @@ def run_search(config: Config, index: FMDIndex,
             order.append((qname, hp))
             enc_store[tag] = enc
             pool.feed(tag, enc)
-            if pool.queued >= (pool.Q if pool.occupied == 0 else pool.M):
+            if pool.queued >= pool.M:
                 absorb(pool.pump())
-        for pool in pools.values():
+        if pool is not None:
             absorb(pool.drain())
         flush_redo()
-        for tag, (qname, hp) in enumerate(order):
-            emit([(qname, hp)], [results_store.pop(tag)])
+        emit_ready()
+        assert emitted[0] == nreads, "pool lost reads"
     else:
         # accumulate per length bucket; flush full batches
         buckets: Dict[int, List] = {}

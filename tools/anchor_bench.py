@@ -74,7 +74,7 @@ def main() -> int:
     t0 = time.time()
     didx, params = build_device_anchor(aidx)
     jax.block_until_ready(didx.small)
-    nbytes = didx.small.nbytes + didx.text_rows.nbytes
+    nbytes = didx.small.nbytes + didx.text_words.nbytes
     print(f"[anchor-bench] device tables: {nbytes / 2**30:.2f} GiB, "
           f"upload {time.time() - t0:.1f}s", flush=True)
 

@@ -54,7 +54,7 @@ def main() -> int:
     aidx = AnchorIndex.load(cache)
     didx, params = build_device_anchor(aidx)
     print(f"[pool-bench] tables "
-          f"{(didx.small.nbytes + didx.text_rows.nbytes) / 2**30:.2f} GiB",
+          f"{(didx.small.nbytes + didx.text_words.nbytes) / 2**30:.2f} GiB",
           flush=True)
 
     enc = [reads[i, :lens[i]] for i in range(args.reads)]
