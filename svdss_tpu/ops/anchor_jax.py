@@ -250,7 +250,8 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
                      overlap: int, nwm: int,
                      lane_budget: jax.Array | int | str = 0,
                      read_chunks: jax.Array | None = None,
-                     lens: jax.Array | None = None):
+                     lens: jax.Array | None = None,
+                     ablate: str = ""):
     """One lockstep round over all lanes, shared by the one-shot batch
     entry point and the persistent-lane pool (ops/anchor_pool.py).
 
@@ -293,8 +294,11 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         m_r = jnp.clip(rstart >> 7, 0, nwm - 1)
         merged = chunks.reshape(Q, 2 * nwm, SPAN_W)
         row = dirb * nwm + m_r
-        chunk = jnp.take_along_axis(merged, row[:, None, None],
-                                    axis=1)[:, 0]          # [Q, 32]
+        if "read" in ablate:       # cost-ablation probe (tools only)
+            chunk = merged[:, 0] ^ row[:, None]
+        else:
+            chunk = jnp.take_along_axis(merged, row[:, None, None],
+                                        axis=1)[:, 0]      # [Q, 32]
         col_a = rstart - (m_r << 7)
 
         # ---- KEY: k symbols P'[u..u+k-1] from the span row
@@ -302,11 +306,15 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         # ending at p, last symbol at 4^0 — anchor.py text_keys)
         key = jnp.zeros(Q, dtype=jnp.int32)
         validm = jnp.zeros(Q, dtype=jnp.int32)   # bit i: symbol u+i ok
-        for i in range(k):
-            sym = _select_sym(chunk, col_a + i)
-            ok = (sym >= 1) & (sym <= 4)
-            key = key | (jnp.clip(sym - 1, 0, 3) << (2 * (k - 1 - i)))
-            validm = validm | jnp.where(ok, jnp.int32(1) << i, 0)
+        if "key" in ablate:
+            key = col_a & ((1 << (2 * k)) - 1)
+            validm = jnp.full(Q, (1 << k) - 1, dtype=jnp.int32)
+        else:
+            for i in range(k):
+                sym = _select_sym(chunk, col_a + i)
+                ok = (sym >= 1) & (sym <= 4)
+                key = key | (jnp.clip(sym - 1, 0, 3) << (2 * (k - 1 - i)))
+                validm = validm | jnp.where(ok, jnp.int32(1) << i, 0)
         need_mask = jnp.where(mk >= 31, jnp.int32(2 ** 31 - 1),
                               (jnp.int32(1) << mk) - 1)
         clean = (validm & need_mask) == need_mask
@@ -329,14 +337,65 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         srow = index.small[jnp.clip(srow_idx, 0, index.small.shape[0] - 1)]
         s0, s1 = srow[:, 0], srow[:, 1]
 
-        # ---- text-row gather (gather 3) + verify compare: align the
+        # ---- KEY dispatch from the meta row
+        cnt_k, aux_k = s0, s1
+        k_empty = use_meta & (cnt_k == 0)
+        k_single = use_meta & (cnt_k == 1)
+        k_multi = use_meta & (cnt_k >= 2) & (cnt_k <= cmax)
+        k_heavy = use_meta & (cnt_k > cmax)
+        fb_new = fb_new | k_heavy
+
+        # ---- chained poslist gather (gather 3): KEY-multi lanes pull
+        # their first occurrence pair in the SAME round, so a phase's
+        # first verify happens in its KEY round (the dominant phase
+        # shape is KEY->single VER; chaining turns 2-3 rounds/phase
+        # into 1)
+        srow2 = index.small[jnp.where(k_multi,
+                                      params.pos_base + (aux_k >> 1), 0)]
+        occ0 = jnp.where((aux_k & 1) == 1, srow2[:, 1], srow2[:, 0])
+
+        # ---- POS row resolution (row-cache misses during iteration)
+        pos_take = is_pos
+        occ_from_row = jnp.where((s["aux"] + s["occ_i"]) & 1, s1, s0)
+
+        # lanes comparing text this round, and against which occurrence
+        chained = k_single | k_multi | pos_take
+        ver_like = is_ver | chained
+        occ_eff = jnp.where(k_single, aux_k,
+                            jnp.where(k_multi, occ0,
+                                      jnp.where(pos_take, occ_from_row,
+                                                s["occ_pos"])))
+        ext_eff = jnp.where(is_ver, s["ext"], 0)
+        occ_i_eff = jnp.where(is_key, 0, s["occ_i"])
+        cnt_eff = jnp.where(use_meta, cnt_k, s["cnt"])
+        best_eff = jnp.where(is_key, 0, s["best"])
+        aux_eff = jnp.where(use_meta, aux_k, s["aux"])
+        prow_eff = jnp.where(k_multi, aux_k >> 1,
+                             jnp.where(pos_take,
+                                       (s["aux"] + s["occ_i"]) >> 1,
+                                       s["prow"]))
+        p0_eff = jnp.where(k_multi, srow2[:, 0],
+                           jnp.where(pos_take, s0, s["p0"]))
+        p1_eff = jnp.where(k_multi, srow2[:, 1],
+                           jnp.where(pos_take, s1, s["p1"]))
+        # chained lanes gathered their read row at u, so their compare
+        # origin sits k symbols into the span
+        cmp_off = jnp.where(is_ver, col_a, col_a + k)
+
+        # ---- text-row gather (gather 4) + verify compare: align the
         # text span to the read span's phase, then nibble-XOR; the first
-        # mismatch offset (relative to col_a) bounds this round's run
-        tstart = s["occ_pos"] + k + s["ext"]
+        # mismatch offset (relative to cmp_off) bounds this round's run
+        tstart = occ_eff + k + ext_eff
         tr = jnp.clip(tstart >> 7, 0, index.text_words.shape[0] - 1)
-        trow = index.text_words[jnp.where(is_ver, tr, 0)]   # [Q, 32]
+        if "text" in ablate:
+            trow = chunk ^ tr[:, None]
+        else:
+            trow = index.text_words[jnp.where(ver_like, tr, 0)]  # [Q, 32]
         col_t = tstart - (tr << 7)
-        shifted = _funnel_shift(trow, col_t - col_a)
+        if "funnel" in ablate:
+            shifted = trow ^ (col_t - cmp_off)[:, None]
+        else:
+            shifted = _funnel_shift(trow, col_t - cmp_off)
         x = shifted ^ chunk
         # zero-nibble detect (nibbles are XORs of nt6 values, <= 7, so
         # the +7 carry never crosses a nibble boundary)
@@ -346,27 +405,29 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
                  & 7) * 4 + 3
         eq = (jax.lax.shift_right_logical(rep, bitsh) & 1) == 1
         cc = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN), 1)
-        dist = cc - col_a[:, None]
+        dist = cc - cmp_off[:, None]
         mism = ~eq & (dist >= 0)
         first = jnp.min(jnp.where(mism, dist, SPAN), axis=1)
+        # the whole valid tail of both spans counts, not just 128
+        run_valid = SPAN - jnp.maximum(cmp_off, col_t)
         vcap = maxlen - k
-        run_cap = vcap - s["ext"]
-        run = jnp.minimum(jnp.minimum(first, VER_SPAN), run_cap)
-        ext_new = s["ext"] + jnp.maximum(run, 0)
-        cont_occ = is_ver & (first >= VER_SPAN) & (ext_new < vcap)
-        occ_done = is_ver & ~cont_occ
-        best_new = jnp.where(occ_done, jnp.maximum(s["best"], ext_new),
-                             s["best"])
+        run_cap = vcap - ext_eff
+        run = jnp.minimum(jnp.minimum(first, run_valid), run_cap)
+        ext_new = ext_eff + jnp.maximum(run, 0)
+        cont_occ = ver_like & (first >= run_valid) & (ext_new < vcap)
+        occ_done = ver_like & ~cont_occ
+        best_new = jnp.where(occ_done, jnp.maximum(best_eff, ext_new),
+                             best_eff)
         early = best_new >= vcap
-        more_occ = occ_done & (s["occ_i"] + 1 < s["cnt"]) & ~early
+        more_occ = occ_done & (occ_i_eff + 1 < cnt_eff) & ~early
         ver_resolve = occ_done & ~more_occ
 
         # next occurrence: reuse the cached poslist row when possible
-        occ_i2 = jnp.where(more_occ, s["occ_i"] + 1, s["occ_i"])
-        nrow_idx = (s["aux"] + occ_i2) >> 1
-        cached = more_occ & (nrow_idx == s["prow"])
-        occ_from_cache = jnp.where((s["aux"] + occ_i2) & 1, s["p1"],
-                                   s["p0"])
+        occ_i2 = jnp.where(more_occ, occ_i_eff + 1, occ_i_eff)
+        nrow_idx = (aux_eff + occ_i2) >> 1
+        cached = more_occ & (nrow_idx == prow_eff)
+        occ_from_cache = jnp.where((aux_eff + occ_i2) & 1, p1_eff,
+                                   p0_eff)
 
         # ---- SUB resolution
         bm_word = jnp.where((w_idx & 1) == 1, s1, s0)
@@ -377,18 +438,6 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         subj_next = jnp.where(sub_down, s["subj"] - 1, s["subj"])
         sub_floor = sub_down & (subj_next <= j0)
         sub_resolve = sub_present | sub_floor
-
-        # ---- KEY resolution / dispatch
-        cnt_k, aux_k = s0, s1
-        k_empty = use_meta & (cnt_k == 0)
-        k_single = use_meta & (cnt_k == 1)
-        k_multi = use_meta & (cnt_k >= 2) & (cnt_k <= cmax)
-        k_heavy = use_meta & (cnt_k > cmax)
-        fb_new = fb_new | k_heavy
-
-        # ---- POS resolution
-        pos_take = is_pos
-        occ_from_row = jnp.where((s["aux"] + s["occ_i"]) & 1, s1, s0)
 
         # ---- phase m resolution (one of floor / sub / ver)
         m_res = jnp.where(floor_case & clean, maxlen,
@@ -436,13 +485,11 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         dir2 = jnp.where(to_fwd, 0, jnp.where(restart, 1, dirb))
         anc2 = jnp.where(to_fwd, b_new,
                          jnp.where(restart, anc_restart, anc))
+        # dispatch: resolve-transitions first; the remaining wheres are
+        # disjoint from resolving lanes
         mode2 = jnp.where(to_fwd | restart, KEY, mode)
-        # KEY dispatch (only when not resolving this round)
         mode2 = jnp.where(k_empty, SUB, mode2)
-        mode2 = jnp.where(k_single, VER, mode2)
-        mode2 = jnp.where(k_multi, POS, mode2)
         mode2 = jnp.where(to_sub_short, SUB, mode2)
-        mode2 = jnp.where(pos_take, VER, mode2)
         mode2 = jnp.where(cont_occ, VER, mode2)
         mode2 = jnp.where(more_occ & cached, VER, mode2)
         mode2 = jnp.where(more_occ & ~cached, POS, mode2)
@@ -452,22 +499,16 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
                           jnp.where(to_sub_short, maxlen, subj_next))
         cnt2 = jnp.where(use_meta, cnt_k, s["cnt"])
         aux2 = jnp.where(use_meta, aux_k, s["aux"])
-        occ2 = jnp.where(is_key, 0, occ_i2)
-        occ_pos2 = jnp.where(k_single, aux_k,
-                             jnp.where(pos_take, occ_from_row,
-                                       jnp.where(more_occ & cached,
-                                                 occ_from_cache,
-                                                 s["occ_pos"])))
-        prow2 = jnp.where(is_key, -1,
-                          jnp.where(pos_take,
-                                    (s["aux"] + s["occ_i"]) >> 1,
-                                    s["prow"]))
-        p02 = jnp.where(pos_take, s0, s["p0"])
-        p12 = jnp.where(pos_take, s1, s["p1"])
+        occ2 = occ_i2
+        occ_pos2 = jnp.where(more_occ & cached, occ_from_cache,
+                             jnp.where(cont_occ, occ_eff, s["occ_pos"]))
+        prow2 = jnp.where(more_occ & ~cached, -1, prow_eff)
+        p02 = p0_eff
+        p12 = p1_eff
         ext2 = jnp.where(cont_occ, ext_new,
-                         jnp.where(is_key | pos_take | more_occ, 0,
-                                   s["ext"]))
-        best2 = jnp.where(is_key, 0, best_new)
+                         jnp.where(ver_like | is_key, 0, s["ext"]))
+        best2 = jnp.where(ver_like, best_new,
+                          jnp.where(is_key, 0, s["best"]))
 
         out = dict(s)
         out.update(rounds=s["rounds"] + 1, active=active2, fb=fb2,
@@ -483,21 +524,23 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
 
 def _merge_stage(s: dict, cap: int) -> dict:
     """Drain each lane's emission staging buffer into the [Q, cap]
-    outputs (in order) with a per-lane scatter; runs once per
-    STAGE_EVERY rounds rather than every round (a full-width [Q, cap]
-    one-hot write per round measured ~40 us at cap=512)."""
+    outputs (in order); runs once per STAGE_EVERY rounds rather than
+    every round (a full-width [Q, cap] one-hot write per round measured
+    ~40 us at cap=512; a scatter-based merge lowered worse than these
+    amortized select writes on TPU)."""
+    cap_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
     nsfs, nstage = s["nsfs"], s["nstage"]
-    Q = nsfs.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (Q, STAGE), 0)
-    js = jax.lax.broadcasted_iota(jnp.int32, (Q, STAGE), 1)
-    cols = nsfs[:, None] + js
-    valid = (js < nstage[:, None]) & (cols < cap)
-    cols = jnp.where(valid, cols, cap)
+    rel = cap_iota - nsfs[:, None]
+    vq = jnp.zeros_like(s["out_qs"])
+    vl = jnp.zeros_like(s["out_l"])
+    for j in range(STAGE):
+        hit = rel == j
+        vq = jnp.where(hit, s["stage_qs"][:, j:j + 1], vq)
+        vl = jnp.where(hit, s["stage_l"][:, j:j + 1], vl)
+    m = (rel >= 0) & (rel < nstage[:, None])
     out = dict(s)
-    out["out_qs"] = s["out_qs"].at[rows, cols].set(s["stage_qs"],
-                                                   mode="drop")
-    out["out_l"] = s["out_l"].at[rows, cols].set(s["stage_l"],
-                                                 mode="drop")
+    out["out_qs"] = jnp.where(m, vq, s["out_qs"])
+    out["out_l"] = jnp.where(m, vl, s["out_l"])
     overflow = s["overflow"] | (nsfs + nstage > cap)
     out["overflow"] = overflow
     out["nsfs"] = jnp.minimum(nsfs + nstage, cap)
@@ -512,12 +555,14 @@ def _merge_stage(s: dict, cap: int) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",
-                                             "overlap", "debug_hist"))
+                                             "overlap", "debug_hist",
+                                             "ablate"))
 def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
                         seqs: jax.Array, lens: jax.Array, cap: int = 128,
                         max_rounds: int = 0,
                         overlap: int = -1,
-                        debug_hist: bool = False) -> PingPongResult:
+                        debug_hist: bool = False,
+                        ablate: str = "") -> PingPongResult:
     """Anchor-verify ping-pong over a padded read batch.
 
     seqs: [Q, L+1] uint8 nt6, 0-padded; lens: [Q]. Returns the same
@@ -530,30 +575,42 @@ def batch_search_anchor(index: DeviceAnchorIndex, params: AnchorParams,
     wlp = words_per_lane(Lp1)
     chunks = derive_chunks(pack_read_words(seqs, lens, wlp))
 
-    st = dict(rounds=jnp.int32(0),
-              out_qs=jnp.zeros((Q, cap), dtype=jnp.int32),
-              out_l=jnp.zeros((Q, cap), dtype=jnp.int32),
+    st = dict(rounds=jnp.int32(0), stage_at=jnp.int32(0),
               **_lane_reset(Q, lens))
     round_body = _make_round_body(index, params, overlap, chunk_rows(Lp1),
-                                  read_chunks=chunks, lens=lens)
+                                  read_chunks=chunks, lens=lens,
+                                  ablate=ablate)
+    noexit = "noexit" in ablate   # timing probe: run max_rounds exactly
 
-    def outer_cond(s):
-        return jnp.any(s["active"] & ~s["fb"]) & (s["rounds"] < max_rounds)
+    def outer_cond(c):
+        s = c[0]
+        live = jnp.array(True) if noexit \
+            else jnp.any(s["active"] & ~s["fb"])
+        return live & (s["rounds"] < max_rounds)
 
     def inner_cond(s):
-        return (jnp.any(s["active"] & ~s["fb"] & (s["nstage"] < STAGE))
-                & (s["rounds"] < max_rounds)
+        live = jnp.array(True) if noexit \
+            else jnp.any(s["active"] & ~s["fb"] & (s["nstage"] < STAGE))
+        return (live & (s["rounds"] < max_rounds)
                 & (s["rounds"] < s["stage_at"] + STAGE_EVERY))
 
-    def outer_body(s):
-        s = dict(s)
-        s["stage_at"] = s["rounds"]
-        s = jax.lax.while_loop(inner_cond, round_body, s)
-        s = _merge_stage(s, cap)
-        return s
+    # the [Q, cap] output buffers only join at the merge boundary —
+    # keeping them out of the round loop's carry avoids shuffling them
+    # through every iteration
+    def outer_body(c):
+        core, oq, ol = c
+        core = dict(core)
+        core["stage_at"] = core["rounds"]
+        core = jax.lax.while_loop(inner_cond, round_body, core)
+        merged = _merge_stage({**core, "out_qs": oq, "out_l": ol}, cap)
+        return ({k: merged[k] for k in core},
+                merged["out_qs"], merged["out_l"])
 
-    st["stage_at"] = jnp.int32(0)
-    final = jax.lax.while_loop(outer_cond, outer_body, st)
+    core, oq, ol = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (st, jnp.zeros((Q, cap), dtype=jnp.int32),
+         jnp.zeros((Q, cap), dtype=jnp.int32)))
+    final = dict(core, out_qs=oq, out_l=ol)
     incomplete = final["fb"] | final["active"]
     res = PingPongResult(qs=final["out_qs"], length=final["out_l"],
                          n_sfs=final["nsfs"], overflow=final["overflow"],

@@ -1,0 +1,148 @@
+"""Wide (whole-genome) anchor engine host oracle vs the FM ping-pong
+oracle: forward-strand tables + both-orientation query + heavy-anchor
+resolver must reproduce the exact two-strand SFS output
+(ping_pong.cpp:4-49 semantics via ops/pingpong_host.py)."""
+
+import numpy as np
+import pytest
+
+from svdss_tpu.index.fmd import build_index, genome_text
+from svdss_tpu.ops.anchor import NeedsFallback, build_anchor_index, \
+    anchor_search
+from svdss_tpu.ops.anchor_wide import (AnchorIndexWide,
+                                       anchor_search_wide,
+                                       build_anchor_index_wide,
+                                       rc_key_scalar, rc_keys)
+from svdss_tpu.ops.pingpong_host import ping_pong_search
+from svdss_tpu.utils.seq import encode_nt6, revcomp_nt6
+
+
+def _mk_genome(rng, size):
+    return "".join(rng.choice(list("ACGT")) for _ in range(size))
+
+
+def _fwd_text(chroms):
+    """Forward-strand wide text: chromosomes joined by separators."""
+    parts = []
+    for seq in chroms.values():
+        parts.append(encode_nt6(seq))
+        parts.append(np.zeros(1, dtype=np.uint8))
+    return np.concatenate(parts[:-1])
+
+
+def _naive_resolver(chroms):
+    """Exact two-strand matching-statistics by brute substring search."""
+    hay = []
+    for seq in chroms.values():
+        e = encode_nt6(seq)
+        hay.append(e.tobytes())
+        hay.append(revcomp_nt6(e).tobytes())
+
+    def occurs(sub: bytes) -> bool:
+        return any(sub in h for h in hay)
+
+    def resolver(P, pos, direction):
+        if direction == "left":
+            m = 0
+            while m < pos + 1 and occurs(P[pos - m:pos + 1].tobytes()):
+                m += 1
+            return m
+        m = 0
+        while pos + m < len(P) and occurs(P[pos:pos + m + 1].tobytes()):
+            m += 1
+        return m
+
+    return resolver
+
+
+def _reads(rng, chroms, n, L):
+    g = "".join(chroms.values())
+    out = []
+    for i in range(n):
+        at = rng.integers(0, len(g) - L)
+        s = list(g[at:at + L])
+        for _ in range(rng.integers(0, 6)):
+            s[rng.integers(0, L)] = "ACGT"[rng.integers(0, 4)]
+        if i % 3 == 0:   # novel insertion
+            ins = "".join("ACGT"[rng.integers(0, 4)] for _ in range(30))
+            mid = L // 2
+            s = s[:mid] + list(ins) + s[mid:]
+        seq = "".join(s)
+        if i % 4 == 0:
+            seq = "".join("TGCA"["ACGT".index(c)] for c in reversed(seq))
+        out.append(encode_nt6(seq))
+    return out
+
+
+def test_wide_matches_fm_oracle():
+    rng = np.random.default_rng(11)
+    chroms = {"c1": _mk_genome(rng, 60_000), "c2": _mk_genome(rng, 30_000)}
+    index = build_index(chroms)
+    widx = build_anchor_index_wide(_fwd_text(chroms), k=10, cmax=16)
+    resolver = _naive_resolver(chroms)
+    n_heavy_used = 0
+    for P in _reads(rng, chroms, 40, 600):
+        want = ping_pong_search(index, P)
+        try:
+            got = anchor_search_wide(widx, P)
+        except NeedsFallback:
+            got = anchor_search_wide(widx, P, resolver=resolver)
+            n_heavy_used += 1
+        assert got == want
+
+
+def test_wide_matches_narrow_on_two_strand_set():
+    """Wide (forward tables) and narrow (two-strand tables) oracles agree
+    read-for-read, including emission order."""
+    rng = np.random.default_rng(7)
+    chroms = {"cA": _mk_genome(rng, 40_000)}
+    narrow = build_anchor_index(genome_text(chroms), k=9, cmax=64)
+    widx = build_anchor_index_wide(_fwd_text(chroms), k=9, cmax=64)
+    for P in _reads(rng, chroms, 30, 400):
+        try:
+            want = anchor_search(narrow, P)
+        except NeedsFallback:
+            continue
+        got = anchor_search_wide(widx, P)
+        assert got == want
+
+
+def test_heavy_pruning_and_resolver():
+    """A repeat-dense genome: heavy k-mers are pruned from the poslist,
+    searches raise without a resolver and are exact with one."""
+    rng = np.random.default_rng(3)
+    unit = _mk_genome(rng, 300)
+    chroms = {"r": unit * 40 + _mk_genome(rng, 5_000)}
+    index = build_index(chroms)
+    widx = build_anchor_index_wide(_fwd_text(chroms), k=8, cmax=8)
+    # the repeat makes many k-mers heavy -> pruned
+    assert (widx.aux == 0xFFFFFFFF).any()
+    resolver = _naive_resolver(chroms)
+    raised = 0
+    for P in _reads(rng, chroms, 12, 500):
+        want = ping_pong_search(index, P)
+        try:
+            got = anchor_search_wide(widx, P)
+        except NeedsFallback:
+            raised += 1
+            got = anchor_search_wide(widx, P, resolver=resolver)
+        assert got == want
+    assert raised > 0
+
+
+def test_rc_keys_involution():
+    k = 7
+    keys = np.arange(4 ** k, dtype=np.int64)
+    rc = rc_keys(keys, k)
+    assert np.array_equal(rc_keys(rc, k), keys)
+    assert rc_key_scalar(int(rc[123]), k) == 123
+
+
+def test_n_in_read_falls_back():
+    rng = np.random.default_rng(5)
+    chroms = {"c": _mk_genome(rng, 20_000)}
+    widx = build_anchor_index_wide(_fwd_text(chroms), k=8, cmax=16)
+    P = encode_nt6(chroms["c"][100:400])
+    P[150] = 5
+    with pytest.raises(NeedsFallback):
+        anchor_search_wide(widx, P)
