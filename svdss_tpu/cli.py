@@ -68,17 +68,31 @@ def _anchor_path(index_path: str) -> str:
 
 
 def _build_anchor(chroms, index_path: str, cmax: int) -> None:
-    """Build + persist the anchor-engine tables next to the FMD index
-    (narrow-coordinate texts only; the FM engine covers the rest)."""
+    """Build + persist the anchor-engine tables next to the FMD index:
+    narrow two-strand tables for texts under int32, the wide
+    forward-strand/uint32 tables (ops/anchor_wide.py) past it."""
     import time as _time
+    import numpy as np
     from .index.fmd import genome_text
     from .ops.anchor import build_anchor_index
+    from .utils.seq import encode_nt6
     text = genome_text(chroms)
-    if len(text) >= 2 ** 31:
-        logger.info("index: text %d symbols >= 2^31 — anchor tables "
-                    "skipped (FM engine only)", len(text))
-        return
     t0 = _time.time()
+    if len(text) >= 2 ** 31:
+        from .ops.anchor_wide import build_anchor_index_wide, WIDE_CMAX
+        del text
+        parts = []
+        for seq in chroms.values():
+            parts.append(encode_nt6(seq))
+            parts.append(np.zeros(1, dtype=np.uint8))
+        fwd = np.concatenate(parts[:-1])
+        del parts
+        widx = build_anchor_index_wide(fwd, cmax=max(cmax, WIDE_CMAX))
+        widx.save(_anchor_path(index_path))
+        logger.info("index: WIDE anchor tables (k=%d, %d fwd symbols) "
+                    "built in %.1fs -> %s", widx.k, widx.n,
+                    _time.time() - t0, _anchor_path(index_path))
+        return
     aidx = build_anchor_index(text, cmax=cmax)
     aidx.save(_anchor_path(index_path))
     logger.info("index: anchor tables (k=%d, j0=%d) built in %.1fs -> %s",
@@ -87,7 +101,8 @@ def _build_anchor(chroms, index_path: str, cmax: int) -> None:
 
 
 def _load_anchor(cfg: Config, index_path: str):
-    """The persisted anchor tables, when present and wanted."""
+    """The persisted anchor tables (narrow AnchorIndex or wide
+    AnchorIndexWide, auto-detected), when present and wanted."""
     if not cfg.use_device or cfg.engine == "fm":
         return None
     path = _anchor_path(index_path)
@@ -96,6 +111,12 @@ def _load_anchor(cfg: Config, index_path: str):
             raise SystemExit(f"--engine anchor: {path} not found "
                              "(rebuild the index)")
         return None
+    import numpy as np
+    with np.load(path) as z:
+        wide = "cnts" in z.files
+    if wide:
+        from .ops.anchor_wide import AnchorIndexWide
+        return AnchorIndexWide.load(path)
     from .ops.anchor import AnchorIndex
     return AnchorIndex.load(path)
 

@@ -134,15 +134,46 @@ class AnchorIndexWide:
                    cmax=int(z["cmax"]))
 
 
+def _keys_and_clean(text: np.ndarray, k: int,
+                    block: int = 1 << 27
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """keys[p] = base-4 value of the k symbols ending at p (digit i =
+    symbol p-i; junk digits where symbols are non-ACGT), cleanc[p] =
+    ACGT run length ending at p (saturated at 255). Chunked so peak
+    memory beyond the two outputs stays ~2 B/symbol."""
+    n = len(text)
+    keys = np.zeros(n, dtype=np.int32)
+    cleanc = np.zeros(n, dtype=np.uint8)
+    carry = 0                       # clean-run length ending at lo-1
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        s = max(0, lo - (k - 1))    # overlap completes every window
+        t = (text[s:hi].astype(np.int32) - 1) & 3
+        m = len(t)
+        acc = np.zeros(m, dtype=np.int32)
+        for i in range(k):
+            sh = np.zeros(m, dtype=np.int32)
+            sh[i:] = t[: m - i]
+            acc += sh << (2 * i)
+        keys[lo:hi] = acc[lo - s:]
+        del acc, t
+        bad = (text[lo:hi] < 1) | (text[lo:hi] > 4)
+        idx = np.arange(hi - lo, dtype=np.int64)
+        lb = np.maximum.accumulate(np.where(bad, idx, -1))
+        run = np.where(lb >= 0, idx - lb, idx + 1 + carry)
+        cleanc[lo:hi] = np.minimum(run, 255).astype(np.uint8)
+        carry = int(min(run[-1], 255)) if hi > lo else carry
+    return keys, cleanc
+
+
 def build_anchor_index_wide(text: np.ndarray, k: int = WIDE_K,
                             cmax: int = WIDE_CMAX,
-                            log: Optional[Callable[[str], None]] = None
-                            ) -> AnchorIndexWide:
+                            log: Optional[Callable[[str], None]] = None,
+                            block: int = 1 << 27) -> AnchorIndexWide:
     """Build wide tables over a FORWARD text (n < 2^32).
 
-    Streaming counting-sort build (no argsort): two passes over the
-    text keys keep peak memory ~ 8 bytes/symbol beyond the text itself,
-    so a 3.1G-symbol genome builds in ~25 GB of host RAM.
+    Chunked passes keep peak host memory ~20 B/symbol (dominated by the
+    poslist argsort), so a 3.1G-symbol genome builds in ~65 GB RAM.
     """
     def say(msg):
         if log:
@@ -153,51 +184,29 @@ def build_anchor_index_wide(text: np.ndarray, k: int = WIDE_K,
     assert n < 2 ** 32, "wide anchor coordinates are uint32"
     nk = 1 << (2 * k)
 
-    # rawkeys by doubling (see anchor.py build): key of window ENDING at
-    # p, last symbol at digit 0
-    def _shift_combine(a, b, mb):
-        out = b.copy()
-        out[mb:] += a[: n - mb] << (2 * mb)
-        return out
-
-    t = (text.astype(np.int64) - 1)
-    pow2 = {1: t}
-    m = 1
-    while m * 2 <= k:
-        pow2[m * 2] = _shift_combine(pow2[m], pow2[m], m)
-        m *= 2
-    rawkeys, width = None, 0
-    for b in sorted(pow2, reverse=True):
-        if not k & b:
-            continue
-        if rawkeys is None:
-            rawkeys, width = pow2[b], b
-        else:
-            rawkeys = _shift_combine(rawkeys, pow2[b], b)
-            width += b
-    del pow2, t
-    bad = (text < 1) | (text > 4)
-    last_bad = np.maximum.accumulate(
-        np.where(bad, np.arange(n, dtype=np.int64), -1))
-    clean = np.arange(n, dtype=np.int64) - last_bad
+    keys, cleanc = _keys_and_clean(text, k, block)
     say("keys built")
 
-    valid = clean >= k
-    vkeys = rawkeys[valid].astype(np.int32)
-    starts_all = (np.nonzero(valid)[0] - (k - 1)).astype(np.uint32)
-    cnts_full = np.bincount(vkeys, minlength=nk).astype(np.int64)
-    say(f"{len(vkeys)} valid windows, {int((cnts_full > 0).sum())} "
-        f"distinct k-mers")
+    # counts (chunked bincount)
+    cnts_full = np.zeros(nk + 1, dtype=np.int64)
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        kb = np.where(cleanc[lo:hi] >= min(k, 255), keys[lo:hi], nk)
+        cnts_full += np.bincount(kb, minlength=nk + 1)
+    cnts_full = cnts_full[:nk]
+    say(f"{int(cnts_full.sum())} valid windows, "
+        f"{int((cnts_full > 0).sum())} distinct k-mers")
 
-    # two-strand presence bitmaps first (they need rawkeys, which can
-    # then be freed before the memory peak of the poslist sort)
+    # two-strand presence bitmaps (chunked)
     levels = {}
     j0 = k - 1
     for j in range(k - 1, 0, -1):
-        vj = (rawkeys[clean >= j] % (1 << (2 * j))).astype(np.int64)
         present = np.zeros(1 << (2 * j), dtype=bool)
-        present[vj] = True
-        del vj
+        mj = np.int32((1 << (2 * j)) - 1)
+        for lo in range(0, n, block):
+            hi = min(n, lo + block)
+            sel = cleanc[lo:hi] >= j
+            present[(keys[lo:hi] & mj)[sel]] = True
         present |= present[rc_keys(np.arange(1 << (2 * j),
                                              dtype=np.int64), j)]
         if present.all():
@@ -208,7 +217,6 @@ def build_anchor_index_wide(text: np.ndarray, k: int = WIDE_K,
         np.bitwise_or.at(bm, idx >> 5, np.uint32(1) << (idx & 31))
         levels[j] = bm
         j0 = j - 1
-    del rawkeys, clean, valid
     say(f"levels built, j0={j0}")
 
     # prune: keep positions only for k-mers whose TWO-STRAND count is in
@@ -228,23 +236,31 @@ def build_anchor_index_wide(text: np.ndarray, k: int = WIDE_K,
     assert np_total < 2 ** 32, "poslist offsets are uint32"
     aux[keep] = seg[:-1][keep].astype(np.uint32)
 
-    # counting-sort the kept positions into poslist by key
-    kept_entry = keep[vkeys]
-    vk = vkeys[kept_entry]
-    st = starts_all[kept_entry]
-    del kept_entry
+    # gather the kept entries (chunked), then one stable argsort groups
+    # positions by key; singleton inline positions fill in the same pass
+    vk = np.empty(np_total, dtype=np.int32)
+    st = np.empty(np_total, dtype=np.uint32)
+    single = cnts_full == 1
+    w = 0
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        kb = keys[lo:hi]
+        okb = cleanc[lo:hi] >= min(k, 255)
+        starts_b = (np.arange(lo, hi, dtype=np.int64) - (k - 1))
+        ke = okb & keep[kb]
+        m = int(ke.sum())
+        vk[w:w + m] = kb[ke]
+        st[w:w + m] = starts_b[ke].astype(np.uint32)
+        w += m
+        se = okb & single[kb]
+        aux[kb[se]] = starts_b[se].astype(np.uint32)
+    assert w == np_total, "kept-entry count mismatch"
+    del keys, cleanc
     order = np.argsort(vk, kind="stable")
     poslist = np.ascontiguousarray(st[order])
-    # the stable sort groups positions by key; verify block starts align
-    vk_sorted = vk[order]
-    blk = np.searchsorted(vk_sorted, np.nonzero(keep)[0])
-    assert np.array_equal(blk, seg[:-1][keep]), "poslist grouping mismatch"
-    del vk, st, order, vk_sorted, blk
+    del vk, st, order
     say(f"poslist {np_total} entries")
 
-    # singleton inline positions
-    single_entry = (cnts_full == 1)[vkeys]
-    aux[vkeys[single_entry]] = starts_all[single_entry]
     cnts = np.minimum(cnts_full, 255).astype(np.uint8)
     return AnchorIndexWide(text=text, k=k, j0=j0, cnts=cnts, aux=aux,
                            poslist=poslist, levels=levels, cmax=cmax)

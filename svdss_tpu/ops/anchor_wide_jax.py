@@ -1,0 +1,637 @@
+"""Whole-genome (wide) anchor-verify search on device.
+
+Device implementation of ops/anchor_wide.py — the forward-strand-only,
+uint32-coordinate variant of the anchor engine that covers texts past
+int32 (GRCh38 two-strand scale, ~6.2G symbols stored as ~3.1G forward
+symbols). Architecture follows the narrow engine (ops/anchor_jax.py):
+lockstep KEY/SUB/POS/VER lane state machines, row-shaped gathers only,
+chained same-round key->occurrence->first-verify. Differences:
+
+* **Both-orientation phases.** A matching-statistics phase resolves
+  max(m_A, m_B): orientation A extends a forward-strand occurrence of
+  the anchor k-mer (rightward text compare, like the narrow engine);
+  orientation B extends a forward-strand occurrence of the
+  REVERSE-COMPLEMENT k-mer (leftward text compare against the other
+  read side — comp(P'[x]) == P''[L-1-x]). The KEY round computes both
+  keys (the RC key is a 2-bit digit reversal + complement, pure bit
+  math), checks the combined count against cmax, and chains orientation
+  A's first verify; a KEYB round starts orientation B.
+
+* **2-bit text, 512-symbol spans.** Coordinates are uint32, symbols are
+  2 bits (value = nt6 - 1); span rows hold 512 symbols at 256-symbol
+  stride in 32 int32 words, so one row gather feeds a >= 257-symbol
+  verify run. Spans containing any non-ACGT symbol (N runs, chromosome
+  separators) are flagged in a bitmap; a verify that touches a flagged
+  span sends the lane to the exact host fallback (rare: reference N
+  borders). Reads containing non-ACGT go to the host fallback at pack
+  time (the narrow engine falls back on N-in-window; the reference FM
+  walk handles N natively — either way output is exact because
+  fallback lanes re-run on the host engine).
+
+* **Heavy anchors fall back.** k-mers whose two-strand count exceeds
+  cmax are pruned from the poslist (ops/anchor_wide.py); a lane that
+  lands on one flags ``incomplete`` and the read re-runs on the host
+  engine. (A per-phase host-resolve queue is the planned upgrade for
+  repeat-rich real genomes; at the synthetic whole-genome validation
+  scale cmax is chosen so this path is rare.)
+
+Emission order and values are bit-identical to the host oracles for all
+completed lanes (tests/test_anchor_wide_jax.py).
+
+Reference: ping_pong.cpp:4-49 (semantics); BASELINE.md north star.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .anchor_wide import AnchorIndexWide
+from .pingpong_jax import PingPongResult
+
+SPAN2 = 512       # symbols per span row
+STRIDE2 = 256     # span stride in symbols
+SPAN2_W = 32      # int32 words per span row (16 x 2-bit symbols each)
+STAGE = 8
+STAGE_EVERY = 8
+
+# lane modes
+KEY, SUB, POS, VER, KEYB = 0, 1, 2, 3, 4
+
+
+class DeviceAnchorWide(NamedTuple):
+    cnts: jax.Array       # [4^k] uint8 forward counts (saturated)
+    aux: jax.Array        # [4^k] uint32 (pos | poslist offset | sentinel)
+    pospairs: jax.Array   # [NPp, 2] uint32 poslist pairs
+    bms: jax.Array        # [B, 2] int32 fused level bitmaps
+    text2: jax.Array      # [nrow, 32] int32 2-bit span rows
+    badrow: jax.Array     # [ceil(nrow/32)] int32 span-has-non-ACGT bits
+
+    @property
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self)
+
+
+@dataclasses.dataclass(frozen=True)
+class WideParams:
+    k: int
+    j0: int
+    cmax: int
+    n: int
+    bm_bases: Tuple[int, ...]     # row offset per level j0+1 .. k-1
+
+
+def pack_text2(text: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """nt6 uint8 [n] -> ([nrow, 32] int32 2-bit span rows, badrow bits).
+
+    Symbol value = nt6 - 1 for ACGT; any other symbol leaves junk and
+    flags the covering span rows instead."""
+    n = len(text)
+    nrow = n // STRIDE2 + 1
+    sym = np.zeros((nrow + 1) * STRIDE2, dtype=np.uint8)
+    sym[:n] = text
+    bad_at = (sym < 1) | (sym > 4)
+    bad_at[n:] = False                 # zero padding compares via badrow?
+    # padding beyond the text must MISMATCH every read symbol; with
+    # 2-bit packing a zero pad aliases 'A', so flag the rows that cover
+    # any out-of-text position as bad (the host handles those reads)
+    bad_at[n:] = True
+    two = np.where(bad_at, 0, (sym - 1).astype(np.uint32))
+    spans = np.lib.stride_tricks.as_strided(
+        two, shape=(nrow, SPAN2), strides=(two.strides[0] * STRIDE2,
+                                           two.strides[0]))
+    shifts = (np.arange(16, dtype=np.uint32) * 2)
+    words = (spans.reshape(nrow, SPAN2_W, 16)
+             << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
+    badspan = np.lib.stride_tricks.as_strided(
+        bad_at, shape=(nrow, SPAN2), strides=(bad_at.strides[0] * STRIDE2,
+                                              bad_at.strides[0]))
+    rowbad = badspan.any(axis=1)
+    bw = np.zeros((nrow + 31) // 32, dtype=np.uint32)
+    idx = np.nonzero(rowbad)[0]
+    np.bitwise_or.at(bw, idx >> 5, np.uint32(1) << (idx & 31))
+    return words.astype(np.int32), bw.view(np.int32)
+
+
+def build_device_anchor_wide(widx: AnchorIndexWide
+                             ) -> Tuple[DeviceAnchorWide, WideParams]:
+    k, j0 = widx.k, widx.j0
+    pl = widx.poslist
+    if len(pl) % 2:
+        pl = np.concatenate([pl, np.zeros(1, dtype=pl.dtype)])
+    bm_parts = []
+    bm_bases = []
+    row = 0
+    for j in range(j0 + 1, k):
+        bm = widx.levels[j]
+        if len(bm) % 2:
+            bm = np.concatenate([bm, np.zeros(1, dtype=bm.dtype)])
+        bm_parts.append(bm.reshape(-1, 2).view(np.int32))
+        bm_bases.append(row)
+        row += len(bm_parts[-1])
+    bms = (np.concatenate(bm_parts) if bm_parts
+           else np.zeros((1, 2), dtype=np.int32))
+    text2, badrow = pack_text2(widx.text)
+    dev = DeviceAnchorWide(
+        cnts=jnp.asarray(widx.cnts),
+        aux=jnp.asarray(widx.aux),
+        pospairs=jnp.asarray(pl.reshape(-1, 2)),
+        bms=jnp.asarray(bms),
+        text2=jnp.asarray(text2),
+        badrow=jnp.asarray(badrow))
+    params = WideParams(k=k, j0=j0, cmax=widx.cmax, n=widx.n,
+                        bm_bases=tuple(bm_bases))
+    return dev, params
+
+
+# --------------------------------------------------------- word utilities
+
+def _funnel_shift2(words: jax.Array, s: jax.Array) -> jax.Array:
+    """Per-lane 2-bit-symbol shift on packed spans: out symbol at
+    position c = in symbol at position c + s ([Q, 32] words, 16 symbols
+    per word; OOB -> 0)."""
+    q, W = words.shape
+    ws = s >> 4
+    r2 = (s & 15) * 2
+    wout = jax.lax.broadcasted_iota(jnp.int32, (q, W, 1), 1)
+    win = jax.lax.broadcasted_iota(jnp.int32, (q, 1, W), 2)
+    i1 = wout + ws[:, None, None]
+    sel1 = (win == i1) & (i1 >= 0) & (i1 < W)
+    sel2 = (win == i1 + 1) & (i1 + 1 >= 0) & (i1 + 1 < W)
+    w_b = words[:, None, :]
+    W1 = jnp.sum(jnp.where(sel1, w_b, 0), axis=2, dtype=jnp.int32)
+    W2 = jnp.sum(jnp.where(sel2, w_b, 0), axis=2, dtype=jnp.int32)
+    r2b = jnp.broadcast_to(r2[:, None], W1.shape)
+    lo = jax.lax.shift_right_logical(W1, r2b)
+    hi = jnp.where(r2b == 0, 0,
+                   jax.lax.shift_left(W2, jnp.where(r2b == 0, 0, 32 - r2b)))
+    return lo | hi
+
+
+def _select_sym2(span: jax.Array, off: jax.Array) -> jax.Array:
+    """Per-lane 2-bit symbol value at span position off (off in
+    [0, 512))."""
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, SPAN2_W), 1)
+              == (off >> 4)[:, None])
+    word = jnp.sum(jnp.where(onehot, span, 0), axis=1, dtype=jnp.int32)
+    return jax.lax.shift_right_logical(word, (off & 15) * 2) & 3
+
+
+def _rc_key(key: jax.Array, k: int) -> jax.Array:
+    """Reverse-complement a base-4 key: 2-bit digit reversal +
+    per-digit complement."""
+    y = ((key & 0x33333333) << 2) | \
+        (jax.lax.shift_right_logical(key, 2) & 0x33333333)
+    y = ((y & 0x0F0F0F0F) << 4) | \
+        (jax.lax.shift_right_logical(y, 4) & 0x0F0F0F0F)
+    y = ((y & 0x00FF00FF) << 8) | \
+        (jax.lax.shift_right_logical(y, 8) & 0x00FF00FF)
+    y = (y << 16) | (jax.lax.shift_right_logical(y, 16) & 0xFFFF)
+    y = jax.lax.shift_right_logical(y, 32 - 2 * k)
+    return y ^ ((1 << (2 * k)) - 1)
+
+
+def words_per_lane2(lp1: int) -> int:
+    return 32 * ((lp1 + 255) // 256 + 1)
+
+
+def chunk_rows2(lp1: int) -> int:
+    return words_per_lane2(lp1) // 16 - 1
+
+
+def pack_read_words2(seqs: jax.Array, lens: jax.Array, wlp: int
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """[Q, Lp1] uint8 nt6 + lens -> ([Q, 2, wlp] int32 2-bit words,
+    has_bad [Q] bool). Side 0 = read, side 1 = reverse complement;
+    symbol value = nt6 - 1; reads containing non-ACGT are flagged."""
+    q, lp1 = seqs.shape
+    s = seqs.astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (q, lp1), 1)
+    inread = pos < lens[:, None]
+    has_bad = jnp.any(inread & ((s < 1) | (s > 4)), axis=1)
+    v = jnp.where(inread, jnp.clip(s - 1, 0, 3), 0)
+    rci = jnp.clip(lens[:, None] - 1 - pos, 0, lp1 - 1)
+    rv = jnp.take_along_axis(v, rci, axis=1)
+    rc = jnp.where(inread, 3 - rv, 0)
+
+    def pack(x):
+        padw = wlp * 16 - lp1
+        xp = jnp.concatenate(
+            [x, jnp.zeros((q, padw), dtype=jnp.int32)], axis=1)
+        nib = xp.reshape(q, wlp, 16)
+        sh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2) * 2
+        return jnp.sum(nib << sh, axis=2, dtype=jnp.int32)
+
+    return jnp.stack([pack(v), pack(rc)], axis=1), has_bad
+
+
+def derive_chunks2(words: jax.Array) -> jax.Array:
+    """[Q, 2, wlp] flat 2-bit words -> [Q, 2, nwm, 32] span rows: row m
+    covers words [16m, 16m+32) = symbols [256m, 256m + 512)."""
+    q, two, wlp = words.shape
+    w16 = words.reshape(q, two, wlp // 16, 16)
+    return jnp.concatenate([w16[:, :, :-1, :], w16[:, :, 1:, :]], axis=3)
+
+
+def _lane_reset_wide(Q: int, lens: jax.Array,
+                     has_bad: jax.Array | None = None) -> dict:
+    fb0 = has_bad if has_bad is not None else jnp.zeros(Q, dtype=bool)
+    return dict(
+        active=lens >= 1,
+        fb=fb0,
+        dirb=jnp.ones(Q, dtype=jnp.int32),
+        mode=jnp.full(Q, KEY, dtype=jnp.int32),
+        anc=(lens - 1).astype(jnp.int32),
+        strand=jnp.zeros(Q, dtype=jnp.int32),
+        key=jnp.zeros(Q, dtype=jnp.int32),
+        keyb=jnp.zeros(Q, dtype=jnp.int32),
+        cntb=jnp.zeros(Q, dtype=jnp.int32),
+        subj=jnp.zeros(Q, dtype=jnp.int32),
+        cnt=jnp.zeros(Q, dtype=jnp.int32),
+        aux=jnp.zeros(Q, dtype=jnp.uint32),
+        occ_i=jnp.zeros(Q, dtype=jnp.int32),
+        prow=jnp.full(Q, -1, dtype=jnp.int32),
+        p0=jnp.zeros(Q, dtype=jnp.uint32),
+        p1=jnp.zeros(Q, dtype=jnp.uint32),
+        occ_pos=jnp.zeros(Q, dtype=jnp.uint32),
+        ext=jnp.zeros(Q, dtype=jnp.int32),
+        best=jnp.zeros(Q, dtype=jnp.int32),
+        nsfs=jnp.zeros(Q, dtype=jnp.int32),
+        overflow=jnp.zeros(Q, dtype=bool),
+        nstage=jnp.zeros(Q, dtype=jnp.int32),
+        stage_qs=jnp.zeros((Q, STAGE), dtype=jnp.int32),
+        stage_l=jnp.zeros((Q, STAGE), dtype=jnp.int32),
+        age=jnp.zeros(Q, dtype=jnp.int32),
+        done_r=jnp.full(Q, -1, dtype=jnp.int32),
+    )
+
+
+def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
+                          overlap: int, nwm: int,
+                          lane_budget: jax.Array | int = 0,
+                          read_chunks: jax.Array | None = None,
+                          lens: jax.Array | None = None):
+    """One lockstep wide round (see module docstring)."""
+    k, j0, cmax = params.k, params.j0, params.cmax
+    stage_iota = jax.lax.broadcasted_iota(jnp.int32, (1, STAGE), 1)
+    c_chunks, c_lens = read_chunks, lens
+    bm_bases = jnp.asarray(
+        np.asarray((0,) * (j0 + 1) + params.bm_bases + (0,),
+                   dtype=np.int32)[:k])
+
+    def round_body(s):
+        chunks = c_chunks if c_chunks is not None else s["chunks"]
+        lens = c_lens if c_lens is not None else s["lens"]
+        Q = chunks.shape[0]
+        active = s["active"] & ~s["fb"] & (s["nstage"] < STAGE)
+        dirb, mode, anc = s["dirb"], s["mode"], s["anc"]
+        strand = s["strand"]
+        is_b = dirb == 1
+        u = jnp.where(is_b, lens - 1 - anc, anc)
+        maxlen = jnp.where(is_b, anc + 1, lens - anc)
+        mk = jnp.minimum(k, maxlen)
+        is_key = active & (mode == KEY)
+        is_keyb = active & (mode == KEYB)
+        is_sub = active & (mode == SUB)
+        is_pos = active & (mode == POS)
+        is_ver = active & (mode == VER)
+        on_b = (strand == 1) & ~is_key      # orientation B (left-compare)
+
+        # ---- read-row gather (gather 1)
+        # right compares read side dirb forward; left compares the OTHER
+        # side backward from the mirror cursor (comp(P'[x]) = P''[L-1-x])
+        ext_eff = jnp.where(is_ver, s["ext"], 0)
+        r_right = jnp.where(is_key, u, u + k + ext_eff)
+        v_left = lens - 1 - (u + k + ext_eff)
+        use_left = on_b & (is_keyb | is_pos | is_ver)
+        rstart = jnp.where(use_left, v_left, r_right)
+        side = jnp.where(use_left, 1 - dirb, dirb)
+        m_r = jnp.where(use_left,
+                        jnp.clip((rstart >> 8) - 1, 0, nwm - 1),
+                        jnp.clip(rstart >> 8, 0, nwm - 1))
+        merged = chunks.reshape(Q, 2 * nwm, SPAN2_W)
+        row = side * nwm + m_r
+        chunk = jnp.take_along_axis(merged, row[:, None, None],
+                                    axis=1)[:, 0]          # [Q, 32]
+        col_a = rstart - (m_r << 8)
+
+        # ---- KEY: both orientation keys from the span row
+        key = jnp.zeros(Q, dtype=jnp.int32)
+        for i in range(k):
+            sym = _select_sym2(chunk, col_a + i)
+            key = key | (sym << (2 * (k - 1 - i)))
+        keyb_new = _rc_key(key, k)
+
+        floor_case = is_key & (maxlen <= j0)
+        use_meta = is_key & (maxlen >= k)
+        to_sub_short = is_key & (maxlen > j0) & (maxlen < k)
+
+        # ---- count gathers (gathers 2+3, tiny rows)
+        cnt_a = index.cnts[jnp.where(use_meta, key, 0)].astype(jnp.int32)
+        cnt_b = index.cnts[jnp.where(use_meta, keyb_new, 0)
+                           ].astype(jnp.int32)
+        ctot = cnt_a + cnt_b
+        k_heavy = use_meta & (ctot > cmax)
+        k_empty = use_meta & (ctot == 0)
+        fb_new = k_heavy
+
+        # ---- aux gather (gather 4): KEY loads orientation A's aux,
+        # KEYB loads orientation B's
+        aux_row = jnp.where(is_key, key, jnp.where(is_keyb, s["keyb"], 0))
+        aux_g = index.aux[jnp.clip(aux_row, 0, index.aux.shape[0] - 1)]
+
+        start_a = use_meta & ~k_heavy & ~k_empty & (cnt_a >= 1)
+        skip_to_b = use_meta & ~k_heavy & ~k_empty & (cnt_a == 0)
+        a_single = start_a & (cnt_a == 1)
+        a_multi = start_a & (cnt_a >= 2)
+        b_single = is_keyb & (s["cntb"] == 1)
+        b_multi = is_keyb & (s["cntb"] >= 2)
+
+        # ---- chained poslist-pair gather (gather 5)
+        chain_multi = a_multi | b_multi
+        off32 = (aux_g >> 1).astype(jnp.int32)
+        prow_new = jnp.where(chain_multi, off32, 0)
+        pr = index.pospairs[jnp.clip(prow_new, 0,
+                                     index.pospairs.shape[0] - 1)]
+        occ0 = jnp.where((aux_g & jnp.uint32(1)) == 1, pr[:, 1], pr[:, 0])
+
+        pos_row = ((s["aux"] + jnp.asarray(s["occ_i"], jnp.uint32))
+                   >> 1).astype(jnp.int32)
+        # POS rounds reuse gather 5's slot via a second gather on the
+        # same table (cheap 8-byte rows)
+        pr2 = index.pospairs[jnp.where(is_pos, pos_row, 0)]
+        occ_from_row = jnp.where(
+            ((s["aux"] + jnp.asarray(s["occ_i"], jnp.uint32)) & 1) == 1,
+            pr2[:, 1], pr2[:, 0])
+
+        chained = a_single | a_multi | b_single | b_multi | is_pos
+        ver_like = is_ver | chained
+        occ_eff = jnp.where(a_single | b_single, aux_g,
+                            jnp.where(chain_multi, occ0,
+                                      jnp.where(is_pos, occ_from_row,
+                                                s["occ_pos"])))
+        occ_i_eff = jnp.where(is_key | is_keyb, 0, s["occ_i"])
+        cnt_eff = jnp.where(start_a, cnt_a,
+                            jnp.where(is_keyb, s["cntb"], s["cnt"]))
+        best_eff = jnp.where(is_key, 0, s["best"])
+        aux_eff = jnp.where(is_key | is_keyb, aux_g, s["aux"])
+        prow_eff = jnp.where(chain_multi, prow_new,
+                             jnp.where(is_pos, pos_row, s["prow"]))
+        p0_eff = jnp.where(chain_multi, pr[:, 0],
+                           jnp.where(is_pos, pr2[:, 0], s["p0"]))
+        p1_eff = jnp.where(chain_multi, pr[:, 1],
+                           jnp.where(is_pos, pr2[:, 1], s["p1"]))
+        # B orientation for lanes whose compare starts THIS round
+        on_b_eff = on_b | is_keyb
+        left_cmp = ver_like & on_b_eff
+        cmp_off = jnp.where(is_key, col_a + k, col_a)
+
+        # ---- text gather (gather 6) + badrow check + compare
+        occ_u = occ_eff
+        t_right = occ_u + jnp.uint32(k) + ext_eff.astype(jnp.uint32)
+        avail_l = occ_u - ext_eff.astype(jnp.uint32)   # symbols left of occ
+        t_left = avail_l - jnp.uint32(1)
+        tstart = jnp.where(left_cmp, t_left, t_right)
+        tr_r = (tstart >> 8).astype(jnp.int32)
+        tr = jnp.where(left_cmp, jnp.clip(tr_r - 1, 0, None), tr_r)
+        tr = jnp.clip(tr, 0, index.text2.shape[0] - 1)
+        trow = index.text2[jnp.where(ver_like, tr, 0)]
+        col_t = (tstart - (jnp.asarray(tr, jnp.uint32) << 8)
+                 ).astype(jnp.int32)
+        # flagged span (non-ACGT in window / past text end) -> host
+        badw = index.badrow[jnp.clip(tr >> 5, 0,
+                                     index.badrow.shape[0] - 1)]
+        row_bad = (jax.lax.shift_right_logical(badw, tr & 31) & 1) == 1
+        fb_new = fb_new | (ver_like & row_bad)
+
+        shifted = _funnel_shift2(trow, col_t - cmp_off)
+        x = shifted ^ chunk
+        mb = (x | jax.lax.shift_right_logical(x, 1)) & jnp.int32(
+            0x55555555)
+        rep = jnp.repeat(mb, 16, axis=1)             # [Q, 512]
+        bsh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
+               & 15) * 2
+        mismn = (jax.lax.shift_right_logical(rep, bsh) & 1) == 1
+        cc = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN2), 1)
+        dist = jnp.where(left_cmp[:, None], cmp_off[:, None] - cc,
+                         cc - cmp_off[:, None])
+        mism = mismn & (dist >= 0)
+        first = jnp.min(jnp.where(mism, dist, SPAN2), axis=1)
+        # remaining-symbol bounds: read cap, span tails, and (left) the
+        # text start
+        run_valid = jnp.where(
+            left_cmp, jnp.minimum(cmp_off, col_t) + 1,
+            SPAN2 - jnp.maximum(cmp_off, col_t))
+        avail32 = jnp.minimum(avail_l, jnp.uint32(1 << 20)
+                              ).astype(jnp.int32)
+        first = jnp.where(left_cmp, jnp.minimum(first, avail32), first)
+        vcap = maxlen - k
+        run_cap = vcap - ext_eff
+        run = jnp.minimum(jnp.minimum(first, run_valid), run_cap)
+        ext_new = ext_eff + jnp.maximum(run, 0)
+        hit_text_start = left_cmp & (first >= avail32)
+        cont_occ = (ver_like & (first >= run_valid) & (ext_new < vcap)
+                    & ~hit_text_start)
+        occ_done = ver_like & ~cont_occ
+        best_new = jnp.where(occ_done, jnp.maximum(best_eff, ext_new),
+                             best_eff)
+        early = best_new >= vcap
+        more_occ = occ_done & (occ_i_eff + 1 < cnt_eff) & ~early
+        # orientation handoff: A exhausted and B has occurrences (lanes
+        # whose chained A verify resolves in their KEY round read the
+        # B count computed THIS round, not the stale state)
+        cntb_eff = jnp.where(is_key, cnt_b, s["cntb"])
+        to_b = (occ_done & ~more_occ & (strand == 0) & ~on_b_eff
+                & (cntb_eff >= 1) & ~early)
+        to_b = to_b | skip_to_b
+        ver_resolve = occ_done & ~more_occ & ~to_b
+
+        occ_i2 = jnp.where(more_occ, occ_i_eff + 1, occ_i_eff)
+        nrow_idx = ((aux_eff + jnp.asarray(occ_i2, jnp.uint32)) >> 1
+                    ).astype(jnp.int32)
+        cached = more_occ & (nrow_idx == prow_eff)
+        occ_from_cache = jnp.where(
+            ((aux_eff + jnp.asarray(occ_i2, jnp.uint32)) & 1) == 1,
+            p1_eff, p0_eff)
+
+        # ---- SUB cascade (two-strand bitmaps, single lookup)
+        key_j = jax.lax.shift_right_logical(
+            s["key"], 2 * (k - jnp.clip(s["subj"], 1, k)))
+        w_idx = jax.lax.shift_right_logical(key_j, 5)
+        bm_row = bm_bases[jnp.clip(s["subj"], 0, k - 1)] + (w_idx >> 1)
+        brow = index.bms[jnp.where(is_sub, bm_row, 0)]
+        bm_word = jnp.where((w_idx & 1) == 1, brow[:, 1], brow[:, 0])
+        bit_set = (jax.lax.shift_right_logical(bm_word, key_j & 31)
+                   & 1) == 1
+        sub_present = is_sub & bit_set
+        sub_down = is_sub & ~bit_set
+        subj_next = jnp.where(sub_down, s["subj"] - 1, s["subj"])
+        sub_floor = sub_down & (subj_next <= j0)
+        sub_resolve = sub_present | sub_floor
+
+        # ---- phase resolution
+        m_res = jnp.where(floor_case, maxlen,
+                          jnp.where(sub_present, s["subj"],
+                                    jnp.where(sub_floor, jnp.int32(j0),
+                                              k + best_new)))
+        resolve = floor_case | sub_resolve | ver_resolve
+
+        b_res = resolve & is_b
+        f_res = resolve & ~is_b
+        prefix_match = b_res & (m_res == maxlen)
+        to_fwd = b_res & ~prefix_match
+        b_new = anc - m_res
+
+        e_new = anc + m_res
+        emit = f_res
+        onehot = (stage_iota == s["nstage"][:, None]) & emit[:, None]
+        stage_qs = jnp.where(onehot, anc[:, None], s["stage_qs"])
+        stage_l = jnp.where(onehot, (m_res + 1)[:, None], s["stage_l"])
+        nstage = jnp.where(emit, s["nstage"] + 1, s["nstage"])
+        emit_done = emit & (anc == 0)
+        if overlap == 0:
+            anc_restart = anc - 1
+        else:
+            anc_restart = e_new + overlap
+        restart = emit & ~emit_done
+
+        age2 = jnp.where(active, s["age"] + 1, s["age"])
+        if isinstance(lane_budget, str):
+            fb_new = fb_new | (active & (age2 >= s["budget"]))
+        elif not (isinstance(lane_budget, int) and lane_budget == 0):
+            fb_new = fb_new | (active & (age2 >= lane_budget))
+
+        # ---- state updates
+        active2 = s["active"] & ~(prefix_match | emit_done)
+        fb2 = s["fb"] | (fb_new & s["active"])
+        runnable_before = s["active"] & ~s["fb"]
+        stop = runnable_before & (~active2 | fb2)
+        done_r2 = jnp.where(stop & (s["done_r"] < 0), s["rounds"] + 1,
+                            s["done_r"])
+        dir2 = jnp.where(to_fwd, 0, jnp.where(restart, 1, dirb))
+        anc2 = jnp.where(to_fwd, b_new,
+                         jnp.where(restart, anc_restart, anc))
+        mode2 = jnp.where(to_fwd | restart, KEY, mode)
+        mode2 = jnp.where(k_empty, SUB, mode2)
+        mode2 = jnp.where(to_sub_short, SUB, mode2)
+        mode2 = jnp.where(cont_occ, VER, mode2)
+        mode2 = jnp.where(more_occ & cached, VER, mode2)
+        mode2 = jnp.where(more_occ & ~cached, POS, mode2)
+        mode2 = jnp.where(to_b, KEYB, mode2)
+        strand2 = jnp.where(to_fwd | restart, 0,
+                            jnp.where(to_b, 1, strand))
+
+        key2 = jnp.where(is_key, key, s["key"])
+        keyb2 = jnp.where(is_key, keyb_new, s["keyb"])
+        cntb2 = jnp.where(is_key, cnt_b, s["cntb"])
+        subj2 = jnp.where(k_empty, jnp.int32(k - 1),
+                          jnp.where(to_sub_short, maxlen, subj_next))
+        cnt2 = jnp.where(start_a, cnt_a,
+                         jnp.where(is_keyb, s["cntb"], s["cnt"]))
+        aux2 = aux_eff
+        occ2 = occ_i2
+        occ_pos2 = jnp.where(more_occ & cached, occ_from_cache,
+                             jnp.where(cont_occ, occ_eff, s["occ_pos"]))
+        prow2 = jnp.where(more_occ & ~cached, -1, prow_eff)
+        ext2 = jnp.where(cont_occ, ext_new,
+                         jnp.where(ver_like | is_key | is_keyb, 0,
+                                   s["ext"]))
+        best2 = jnp.where(ver_like, best_new,
+                          jnp.where(is_key, 0, s["best"]))
+
+        out = dict(s)
+        out.update(rounds=s["rounds"] + 1, active=active2, fb=fb2,
+                   dirb=dir2, mode=mode2, anc=anc2, strand=strand2,
+                   key=key2, keyb=keyb2, cntb=cntb2, subj=subj2,
+                   cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2,
+                   p0=p0_eff, p1=p1_eff, occ_pos=occ_pos2, ext=ext2,
+                   best=best2, nstage=nstage, stage_qs=stage_qs,
+                   stage_l=stage_l, age=age2, done_r=done_r2)
+        return out
+
+    return round_body
+
+
+def _merge_stage_wide(s: dict, cap: int) -> dict:
+    cap_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    nsfs, nstage = s["nsfs"], s["nstage"]
+    rel = cap_iota - nsfs[:, None]
+    vq = jnp.zeros_like(s["out_qs"])
+    vl = jnp.zeros_like(s["out_l"])
+    for j in range(STAGE):
+        hit = rel == j
+        vq = jnp.where(hit, s["stage_qs"][:, j:j + 1], vq)
+        vl = jnp.where(hit, s["stage_l"][:, j:j + 1], vl)
+    m = (rel >= 0) & (rel < nstage[:, None])
+    out = dict(s)
+    out["out_qs"] = jnp.where(m, vq, s["out_qs"])
+    out["out_l"] = jnp.where(m, vl, s["out_l"])
+    overflow = s["overflow"] | (nsfs + nstage > cap)
+    out["overflow"] = overflow
+    out["nsfs"] = jnp.minimum(nsfs + nstage, cap)
+    out["nstage"] = jnp.zeros_like(nstage)
+    out["active"] = s["active"] & ~overflow
+    out["done_r"] = jnp.where((s["done_r"] < 0) & overflow, s["rounds"],
+                              s["done_r"])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",
+                                             "overlap", "debug_hist"))
+def batch_search_anchor_wide(index: DeviceAnchorWide, params: WideParams,
+                             seqs: jax.Array, lens: jax.Array,
+                             cap: int = 128, max_rounds: int = 0,
+                             overlap: int = -1,
+                             debug_hist: bool = False) -> PingPongResult:
+    """Wide anchor-verify ping-pong over a padded read batch; same
+    contract as the narrow batch_search_anchor (``incomplete`` lanes
+    re-run on the exact host path)."""
+    Q, Lp1 = seqs.shape
+    if max_rounds == 0:
+        max_rounds = 8 * (Lp1 - 1) + 64
+    wlp = words_per_lane2(Lp1)
+    words, has_bad = pack_read_words2(seqs, lens, wlp)
+    chunks = derive_chunks2(words)
+
+    st = dict(rounds=jnp.int32(0), stage_at=jnp.int32(0),
+              **_lane_reset_wide(Q, lens, has_bad))
+    round_body = _make_round_body_wide(index, params, overlap,
+                                       chunk_rows2(Lp1),
+                                       read_chunks=chunks, lens=lens)
+
+    def outer_cond(c):
+        s = c[0]
+        return jnp.any(s["active"] & ~s["fb"]) & (s["rounds"] < max_rounds)
+
+    def inner_cond(s):
+        return (jnp.any(s["active"] & ~s["fb"] & (s["nstage"] < STAGE))
+                & (s["rounds"] < max_rounds)
+                & (s["rounds"] < s["stage_at"] + STAGE_EVERY))
+
+    def outer_body(c):
+        core, oq, ol = c
+        core = dict(core)
+        core["stage_at"] = core["rounds"]
+        core = jax.lax.while_loop(inner_cond, round_body, core)
+        merged = _merge_stage_wide({**core, "out_qs": oq, "out_l": ol},
+                                   cap)
+        return ({k: merged[k] for k in core},
+                merged["out_qs"], merged["out_l"])
+
+    core, oq, ol = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (st, jnp.zeros((Q, cap), dtype=jnp.int32),
+         jnp.zeros((Q, cap), dtype=jnp.int32)))
+    final = dict(core, out_qs=oq, out_l=ol)
+    incomplete = final["fb"] | final["active"]
+    res = PingPongResult(qs=final["out_qs"], length=final["out_l"],
+                         n_sfs=final["nsfs"], overflow=final["overflow"],
+                         incomplete=incomplete, iters=final["rounds"])
+    if debug_hist:
+        return res, final["done_r"]
+    return res

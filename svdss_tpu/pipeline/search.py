@@ -169,13 +169,25 @@ class _DeviceSearcher:
         use_anchor = anchor is not None and (
             config.engine == "anchor"
             or (config.engine == "auto" and index.n >= (1 << 26)))
+        self.wide = False
         if use_anchor:
-            from ..ops.anchor_jax import build_device_anchor
-            self.anchor, self.anchor_params = build_device_anchor(anchor)
-            logger.info("search: anchor engine (k=%d, tables %.2f GiB)",
-                        self.anchor_params.k,
-                        (self.anchor.small.nbytes +
-                         self.anchor.text_words.nbytes) / 2 ** 30)
+            from ..ops.anchor_wide import AnchorIndexWide
+            if isinstance(anchor, AnchorIndexWide):
+                from ..ops.anchor_wide_jax import build_device_anchor_wide
+                self.anchor, self.anchor_params = \
+                    build_device_anchor_wide(anchor)
+                self.wide = True
+                logger.info("search: WIDE anchor engine (k=%d, tables "
+                            "%.2f GiB)", self.anchor_params.k,
+                            self.anchor.nbytes / 2 ** 30)
+            else:
+                from ..ops.anchor_jax import build_device_anchor
+                self.anchor, self.anchor_params = \
+                    build_device_anchor(anchor)
+                logger.info("search: anchor engine (k=%d, tables "
+                            "%.2f GiB)", self.anchor_params.k,
+                            (self.anchor.small.nbytes +
+                             self.anchor.text_words.nbytes) / 2 ** 30)
         else:
             from ..ops.fmd_jax import DeviceFMDIndex
             self.dev = DeviceFMDIndex.from_host(index)
@@ -215,7 +227,13 @@ class _DeviceSearcher:
         while len(padded) < self.lanes:
             padded.append(np.ones(1, dtype=np.uint8))
         seqs, lens = pack_reads(padded, pad_to=L)
-        if self.anchor is not None:
+        if self.anchor is not None and self.wide:
+            from ..ops.anchor_wide_jax import batch_search_anchor_wide
+            res = batch_search_anchor_wide(self.anchor,
+                                           self.anchor_params,
+                                           seqs, lens, cap=self.cap,
+                                           overlap=self.config.overlap)
+        elif self.anchor is not None:
             from ..ops.anchor_jax import batch_search_anchor
             res = batch_search_anchor(self.anchor, self.anchor_params,
                                       seqs, lens, cap=self.cap,
@@ -331,7 +349,9 @@ def run_search(config: Config, index: FMDIndex,
             if len(batch) >= config.batch_size:
                 flush_host()
         flush_host()
-    elif searcher.anchor is not None and config.pool:
+    elif searcher.anchor is not None and config.pool and not searcher.wide:
+        # (the wide engine runs one-shot batches below; its pool driver
+        # is a tracked gap — the batch path still overlaps via dispatch)
         # persistent-lane pool: lanes refill from the device-side
         # reservoir the superstep they finish, so device time tracks
         # mean (not max) per-read rounds — see ops/anchor_pool.py. ONE

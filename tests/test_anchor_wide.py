@@ -146,3 +146,21 @@ def test_n_in_read_falls_back():
     P[150] = 5
     with pytest.raises(NeedsFallback):
         anchor_search_wide(widx, P)
+
+
+def test_chunked_build_matches_one_shot():
+    """Small block size forces chunk boundaries through every pass."""
+    rng = np.random.default_rng(17)
+    g = _mk_genome(rng, 9_000)
+    # embed N runs so clean-run carries cross chunk edges
+    g = g[:3000] + "N" * 7 + g[3000:6000] + "NN" + g[6000:]
+    chroms = {"c": g}
+    a = build_anchor_index_wide(_fwd_text(chroms), k=8, cmax=16)
+    b = build_anchor_index_wide(_fwd_text(chroms), k=8, cmax=16,
+                                block=1009)
+    assert np.array_equal(a.cnts, b.cnts)
+    assert np.array_equal(a.aux, b.aux)
+    assert np.array_equal(a.poslist, b.poslist)
+    assert a.j0 == b.j0 and sorted(a.levels) == sorted(b.levels)
+    for j in a.levels:
+        assert np.array_equal(a.levels[j], b.levels[j])

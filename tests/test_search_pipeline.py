@@ -103,3 +103,26 @@ def test_search_anchor_engine_matches_host(pipeline_data):
                               index, bam=smoothed, anchor=anchor)
         assert [(q, [(s.qs, s.l, s.htag) for s in g])
                 for q, g in a_groups] == host_norm
+
+
+def test_search_wide_anchor_engine_matches_host(pipeline_data):
+    # the WIDE anchor engine (forward-strand tables, both-orientation
+    # query) through the full search stage == the host FM path
+    import numpy as np
+    from svdss_tpu.ops.anchor_wide import build_anchor_index_wide
+    from svdss_tpu.utils.seq import encode_nt6
+    chroms, hap1, smoothed, index, _ = pipeline_data
+    parts = []
+    for seq in chroms.values():
+        parts.append(encode_nt6(seq))
+        parts.append(np.zeros(1, dtype=np.uint8))
+    widx = build_anchor_index_wide(np.concatenate(parts[:-1]), k=9,
+                                   cmax=32)
+    host_groups = run_search(Config(use_device=False), index, bam=smoothed)
+    host_norm = [(q, [(s.qs, s.l, s.htag) for s in g])
+                 for q, g in host_groups]
+    a_groups = run_search(Config(use_device=True, lanes=16,
+                                 max_sfs_per_read=128, engine="anchor"),
+                          index, bam=smoothed, anchor=widx)
+    assert [(q, [(s.qs, s.l, s.htag) for s in g])
+            for q, g in a_groups] == host_norm

@@ -1,0 +1,210 @@
+"""Whole-genome-scale validation of the WIDE anchor engine (the
+production search path at >= 6.2G two-strand symbols).
+
+Builds wide anchor tables over the same synthetic GRCh38-scale genome
+as tools/giant_validation.py (16 x 194 Mbp forward = ~3.104G forward
+symbols = ~6.21G two-strand), loads them onto the real TPU, searches
+HiFi-like reads with the wide anchor engine, and verifies every
+device-resolved read against the native host FM engine; incomplete
+lanes (heavy anchors / N / text-boundary spans) re-run on the host
+engine, so output is exact either way and the reported rate includes
+that fallback time.
+
+VERDICT.md round-3 item 1 done-criterion: engine=anchor at >= 6.2G
+two-strand symbols, device == host on >= 1k reads, reads/s >= the
+16-thread CPU estimate at that scale.
+
+Usage: python tools/giant_wide.py [--reads 2048] [--cmax 44]
+       (expects the FM index from giant_validation at --fm-index for
+        host truth; builds/caches the wide tables at --anchor)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chrom-mbp", type=int, default=194)
+    ap.add_argument("--n-chrom", type=int, default=16)
+    ap.add_argument("--reads", type=int, default=2048)
+    ap.add_argument("--read-len", type=int, default=10_000)
+    ap.add_argument("--cmax", type=int, default=44)
+    ap.add_argument("--fm-index", default="/tmp/giant62_index.npz")
+    ap.add_argument("--anchor", default="/tmp/giant62_anchor.npz")
+    ap.add_argument("--out", default="docs/GIANT_WIDE_r03.json")
+    args = ap.parse_args()
+    out = {"chrom_mbp": args.chrom_mbp, "n_chrom": args.n_chrom,
+           "cmax": args.cmax}
+
+    from svdss_tpu.ops.anchor_wide import (AnchorIndexWide,
+                                           build_anchor_index_wide)
+    from svdss_tpu.utils.seq import encode_nt6
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    if os.path.exists(args.anchor):
+        t0 = time.time()
+        widx = AnchorIndexWide.load(args.anchor)
+        print(f"[wide] loaded anchor tables in {time.time()-t0:.0f}s "
+              f"({widx.n} fwd symbols)", flush=True)
+    else:
+        # forward text: chromosomes joined by separators (RC-closure is
+        # handled query-side; two-strand symbol count = 2n)
+        parts = []
+        for i in range(args.n_chrom):
+            arr = bases[rng.integers(0, 4, args.chrom_mbp * 1_000_000)]
+            enc = np.zeros(len(arr), dtype=np.uint8)
+            for j, b in enumerate(b"ACGT"):
+                enc[arr == b] = j + 1
+            parts.append(enc)
+            parts.append(np.zeros(1, dtype=np.uint8))
+        text = np.concatenate(parts[:-1])
+        del parts
+        print(f"[wide] forward text {len(text)} symbols "
+              f"({2 * len(text)} two-strand)", flush=True)
+        t0 = time.time()
+        widx = build_anchor_index_wide(
+            text, cmax=args.cmax,
+            log=lambda m: print(f"[wide-build] {m} "
+                                f"({time.time()-t0:.0f}s, RSS "
+                                f"{rss_gb():.1f} GB)", flush=True))
+        out["anchor_build_s"] = round(time.time() - t0, 1)
+        out["anchor_build_peak_rss_gb"] = round(rss_gb(), 1)
+        t0 = time.time()
+        widx.save(args.anchor)
+        out["anchor_save_s"] = round(time.time() - t0, 1)
+        print(f"[wide] built in {out['anchor_build_s']}s "
+              f"(peak RSS {out['anchor_build_peak_rss_gb']} GB)",
+              flush=True)
+    out["n_fwd_symbols"] = widx.n
+    out["two_strand_symbols"] = 2 * widx.n
+    assert 2 * widx.n >= 6_200_000_000, "below the 6.2G criterion"
+    out["poslist_entries"] = int(len(widx.poslist))
+    host_bytes = (widx.cnts.nbytes + widx.aux.nbytes
+                  + widx.poslist.nbytes + widx.text.nbytes // 2)
+    out["table_bytes_est_gb"] = round((host_bytes) / 2**30, 2)
+
+    # reads from chr1 coordinates (same scheme as giant_validation)
+    rng = np.random.default_rng(11)
+    chr1 = bases[rng.integers(0, 4, args.chrom_mbp * 1_000_000)]
+    g6 = np.zeros(len(chr1), dtype=np.uint8)
+    for i, b in enumerate(b"ACGT"):
+        g6[chr1 == b] = i + 1
+    rr = np.random.default_rng(7)
+    L = args.read_len
+    reads = np.zeros((args.reads, L + 1), dtype=np.uint8)
+    lens = np.full(args.reads, L, dtype=np.int32)
+    starts = rr.integers(0, len(g6) - L, args.reads)
+    reads[:, :L] = g6[starts[:, None] + np.arange(L)]
+    cols = rr.integers(0, L, (args.reads, max(1, int(L * 0.002))))
+    rows = np.repeat(np.arange(args.reads), cols.shape[1])
+    reads[rows, cols.ravel()] = rr.integers(1, 5, cols.size)
+    ins_rows = np.nonzero(rr.random(args.reads) < 0.3)[0]
+    for i in ins_rows:
+        at = int(rr.integers(200, L - 200))
+        ins = rr.integers(1, 5, 100).astype(np.uint8)
+        reads[i, at + 100:L] = reads[i, at:L - 100].copy()
+        reads[i, at:at + 100] = ins
+
+    # host truth + fallback engine (native FM over the 6.2G index)
+    from svdss_tpu.index.fmd import FMDIndex
+    from svdss_tpu.ops.pingpong_native import open_native_fmd
+    t0 = time.time()
+    index = FMDIndex.load(args.fm_index)
+    print(f"[wide] FM index loaded in {time.time()-t0:.0f}s", flush=True)
+    nf = open_native_fmd(index, threads=2)
+    assert nf is not None
+    encoded = [reads[i, :L].copy() for i in range(args.reads)]
+    t0 = time.time()
+    host_res = nf.search_batch(encoded, threads=2)
+    out["host_search_s"] = round(time.time() - t0, 1)
+    out["host_reads_per_s_2t"] = round(args.reads / out["host_search_s"],
+                                       1)
+    out["host_reads_per_s_16t_est"] = round(
+        8 * args.reads / out["host_search_s"], 1)
+    print(f"[wide] host truth: {out['host_search_s']}s "
+          f"({out['host_reads_per_s_2t']}/s at 2t)", flush=True)
+
+    # device
+    from svdss_tpu.utils.device import init_device_runtime
+    init_device_runtime()
+    import jax
+    import jax.numpy as jnp
+    from svdss_tpu.ops.anchor_wide_jax import (batch_search_anchor_wide,
+                                               build_device_anchor_wide)
+    dev = jax.devices()[0]
+    out["device"] = f"{dev.platform} {dev.device_kind}"
+    t0 = time.time()
+    didx, params = build_device_anchor_wide(widx)
+    _ = np.asarray(didx.cnts[:1])
+    out["hbm_tables_gb"] = round(didx.nbytes / 2**30, 2)
+    out["upload_s"] = round(time.time() - t0, 1)
+    print(f"[wide] device tables {out['hbm_tables_gb']} GB "
+          f"(upload {out['upload_s']}s)", flush=True)
+
+    Q = 2048
+    seqs_j = jnp.asarray(reads[:Q])
+    lens_j = jnp.asarray(lens[:Q])
+    t0 = time.time()
+    res = batch_search_anchor_wide(didx, params, seqs_j, lens_j, cap=512)
+    np.asarray(res.n_sfs)
+    out["device_warm_s"] = round(time.time() - t0, 1)
+
+    t_total = 0.0
+    mism = 0
+    n_fb = 0
+    n_dev = 0
+    for base in range(0, args.reads, Q):
+        sj = jnp.asarray(reads[base:base + Q])
+        lj = jnp.asarray(lens[base:base + Q])
+        t0 = time.time()
+        res = batch_search_anchor_wide(didx, params, sj, lj, cap=512)
+        bad = np.asarray(res.incomplete | res.overflow)
+        qs = np.asarray(res.qs)
+        ln = np.asarray(res.length)
+        nn = np.asarray(res.n_sfs)
+        redo = np.nonzero(bad)[0]
+        if len(redo):
+            nf.search_batch([encoded[base + i] for i in redo], threads=2)
+        t_total += time.time() - t0
+        n_fb += len(redo)
+        for i in range(len(nn)):
+            if bad[i]:
+                continue
+            n_dev += 1
+            got = list(zip(qs[i, :nn[i]].tolist(), ln[i, :nn[i]].tolist()))
+            if got != host_res[base + i]:
+                mism += 1
+    out["device_search_s"] = round(t_total, 2)
+    out["device_reads_per_s"] = round(args.reads / t_total, 1)
+    out["fallback_reads"] = n_fb
+    out["device_resolved_reads"] = n_dev
+    out["mismatches"] = mism
+    out["vs_host_16t_est"] = round(out["device_reads_per_s"]
+                                   / out["host_reads_per_s_16t_est"], 2)
+    out["ok"] = mism == 0 and n_dev >= 1000
+    print(json.dumps(out), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
