@@ -141,6 +141,44 @@ def time_anchor(didx, params, index, reads, lens, iters: int,
     return len(reads) / min(times), warm, n_sfs, times, n_redo
 
 
+def time_pool(didx, params, index, reads, lens, cap: int = 512,
+              lanes: int = 8192, rounds_per_step: int = 256,
+              mult: int = 4):
+    """Production streaming rate: the persistent-lane pool over a read
+    stream ``mult`` times the batch (so lane-drain tails amortize),
+    INCLUDING read upload, result download, and host fallback re-runs.
+
+    NOTE the dev-harness device link runs ~17 MB/s + 25 ms RTT — a
+    production PCIe host makes the streaming overhead negligible; the
+    one-shot batch rate above bounds pure kernel throughput."""
+    from svdss_tpu.ops.anchor_pool import AnchorPool
+    n0 = len(reads)
+    n = n0 * mult
+    read_len = int(lens.max())
+    enc = [reads[i % n0, :lens[i % n0]] for i in range(n)]
+
+    def run():
+        pool = AnchorPool(didx, params, lanes=lanes, read_len=read_len,
+                          cap=cap, rounds_per_step=rounds_per_step,
+                          reservoir=max(2 * lanes, 4096),
+                          ring=max(2 * lanes, 4096), refill=2048)
+        t0 = time.time()
+        redo = []
+        ndone = 0
+        for tag, pairs in pool.run(enc):
+            ndone += 1
+            if pairs is None:
+                redo.append(tag)
+        if redo:
+            from svdss_tpu.pipeline.search import host_search_batch
+            host_search_batch(index, [enc[i] for i in redo])
+        return n / (time.time() - t0), len(redo), pool.rounds_run
+
+    rate, n_redo, rounds = run()          # cold (compiles)
+    rate, n_redo, rounds = run()          # warm
+    return rate, n_redo, rounds
+
+
 def build_anchor(genome_arr, genome_bp: int, cmax: int = 16):
     from svdss_tpu.index.fmd import genome_text
     from svdss_tpu.ops.anchor import AnchorIndex, build_anchor_index
@@ -157,9 +195,14 @@ def build_anchor(genome_arr, genome_bp: int, cmax: int = 16):
     return aidx
 
 
-def measure_host_baseline(index, reads, lens, n_sample: int):
-    """Native C++ host search on the same workload: measured 1t/2t rates
-    + the documented x16 extrapolation (see module docstring)."""
+def measure_host_baseline(index, reads, lens, n_sample: int,
+                          repeats: int = 3):
+    """Native C++ host search on the same workload: median of repeated
+    1t/2t runs (first run warms page-in and is discarded). The 16-thread
+    reference figure extrapolates linearly from the full-box 2-thread
+    median (this host has 2 cores), which cannot exceed 2x the 1-thread
+    rate by construction — round 2's 1t-based x16 figure inherited a
+    cold-first-run artifact (224/1t vs 515/2t, superlinear)."""
     from svdss_tpu.ops.pingpong_native import open_native_fmd
     nf = open_native_fmd(index, threads=2)
     if nf is None:
@@ -168,11 +211,15 @@ def measure_host_baseline(index, reads, lens, n_sample: int):
     encoded = [reads[i, :lens[i]].copy() for i in range(n)]
     out = {}
     for t in (1, 2):
-        nf.search_batch(encoded[:8], threads=t)   # warm page-in
-        t0 = time.time()
-        nf.search_batch(encoded, threads=t)
-        out[t] = n / (time.time() - t0)
+        nf.search_batch(encoded, threads=t)       # warm (discarded)
+        rates = []
+        for _ in range(repeats):
+            t0 = time.time()
+            nf.search_batch(encoded, threads=t)
+            rates.append(n / (time.time() - t0))
+        out[t] = float(np.median(rates))
     nf.close()
+    out[2] = min(out[2], 2 * out[1])     # self-consistency on 2 cores
     return out
 
 
@@ -194,6 +241,9 @@ def main() -> int:
                     help="skip the secondary 2kb/30kb read-length rates")
     ap.add_argument("--no-host", action="store_true",
                     help="skip the measured host baseline")
+    ap.add_argument("--no-pool", action="store_true",
+                    help="skip the streaming pool measurement (one-shot "
+                         "batches only)")
     ap.add_argument("--host-sample", type=int, default=512)
     ap.add_argument("--jump-k", dest="jump_k", type=int, default=0,
                     help="k-mer jump table size (0 disables; measured "
@@ -210,6 +260,7 @@ def main() -> int:
             1_000_000, 256, 2_000, 1)
         args.no_sweep = True
         args.no_host = True
+        args.no_pool = True
 
     from svdss_tpu.utils.device import init_device_runtime
     init_device_runtime()
@@ -249,14 +300,23 @@ def main() -> int:
         jump_kw = dict(jump_table=jt, keys=jnp.asarray(
             kmer_keys(reads, args.jump_k)), jump_k=args.jump_k)
 
+    pool_rate = None
     if didx is not None:
         rate, warm, n_sfs, times, n_redo = time_anchor(
             didx, params, index, reads, lens, args.iters)
         engine_used = "anchor"
-        print(f"[bench] primary(anchor) {args.read_len}bp: warmup "
+        print(f"[bench] one-shot(anchor) {args.read_len}bp: warmup "
               f"{warm:.1f}s, times {['%.3f' % t for t in times]} -> "
               f"{rate:.1f} reads/s ({n_sfs} SFS, {n_redo} host-redo)",
               file=sys.stderr)
+        if not args.no_pool:
+            pool_rate, p_redo, p_rounds = time_pool(
+                didx, params, index, reads, lens)
+            print(f"[bench] pool(anchor, streaming incl transfers): "
+                  f"{pool_rate:.1f} reads/s ({p_redo} host-redo, "
+                  f"{p_rounds} rounds)", file=sys.stderr)
+            engine_used = "anchor-pool" if pool_rate > rate else "anchor"
+            rate = max(rate, pool_rate)
         fm_rate, _, _, _ = time_device(dev_index, reads, lens, 1,
                                        **jump_kw)
         print(f"[bench] fm engine: {fm_rate:.1f} reads/s", file=sys.stderr)
@@ -283,6 +343,15 @@ def main() -> int:
             print(f"[bench] {L}bp: {r_l:.1f} reads/s (warmup {w_l:.1f}s)",
                   file=sys.stderr)
 
+    cpu_model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu_model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
     out = {
         "metric": "sfs_search_reads_per_s_per_chip",
         "value": round(rate, 1),
@@ -292,14 +361,22 @@ def main() -> int:
         "genome_bp": args.genome_bp,
         "read_len": args.read_len,
         "reads_per_s_by_len": by_len,
+        "host_cpu": cpu_model,
     }
+    if pool_rate is not None:
+        out["pool_reads_per_s"] = round(pool_rate, 1)
     if not args.no_host:
         host = measure_host_baseline(index, reads, lens, args.host_sample)
         if host:
-            est16 = host[1] * 16
+            # 2-core box: extrapolate from the full-box (2t) median —
+            # the reference search is embarrassingly parallel over
+            # reads (ping_pong.cpp:329)
+            est16 = host[2] * 8
             out["host_reads_per_s_1t"] = round(host[1], 1)
             out["host_reads_per_s_2t"] = round(host[2], 1)
             out["host_reads_per_s_16t_est"] = round(est16, 1)
+            out["host_baseline_method"] = \
+                "median of 3 runs; 16t = 8 x 2t (2-core host)"
             out["vs_baseline"] = round(rate / est16, 3)
             print(f"[bench] host baseline: {host[1]:.1f}/1t "
                   f"{host[2]:.1f}/2t -> 16t est {est16:.1f}",

@@ -77,3 +77,33 @@ def merge_shard_results(result: PingPongResult, n_reads: int):
         k = int(n[i])
         out.append(list(zip(qs[i, :k].tolist(), ln[i, :k].tolist())))
     return out
+
+
+# ---------------------------------------------------- anchor engine (v2)
+
+def shard_anchor_inputs(mesh: Mesh, index, seqs, lens,
+                        axis: str = "reads"):
+    """Anchor-engine placement: tables replicated, reads sharded along
+    Q — the same data-parallel shape as the FM path (the lane state
+    machine has no cross-lane dependencies, so XLA SPMD partitions every
+    per-lane op and keeps table gathers replica-local)."""
+    from ..ops.anchor_jax import DeviceAnchorIndex
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    index = DeviceAnchorIndex(
+        small=jax.device_put(index.small, repl),
+        text_words=jax.device_put(index.text_words, repl))
+    seqs = jax.device_put(seqs, shard)
+    lens = jax.device_put(lens, shard)
+    return index, seqs, lens
+
+
+def sharded_batch_search_anchor(mesh: Mesh, index, params, seqs, lens,
+                                cap: int = 256, overlap: int = -1,
+                                axis: str = "reads") -> PingPongResult:
+    """Lockstep anchor-verify search over a mesh-sharded read batch
+    (the production engine's multi-chip path)."""
+    from ..ops.anchor_jax import batch_search_anchor
+    index, seqs, lens = shard_anchor_inputs(mesh, index, seqs, lens, axis)
+    return batch_search_anchor(index, params, seqs, lens, cap=cap,
+                               overlap=overlap)

@@ -52,3 +52,41 @@ def test_mesh_sizes_agree(problem):
         res = sharded_batch_search(mesh, dev_index, seqs, lens, cap=64)
         out[n] = merge_shard_results(res, len(reads))
     assert out[1] == out[2] == out[4] == out[8]
+
+
+def test_anchor_engine_mesh_matches_host():
+    # the production anchor engine over device meshes == host oracle,
+    # identical at every mesh size (the FM tests above cover the FM path)
+    from svdss_tpu.index.fmd import genome_text
+    from svdss_tpu.ops.anchor import build_anchor_index
+    from svdss_tpu.ops.anchor_jax import build_device_anchor
+    from svdss_tpu.parallel.mesh import sharded_batch_search_anchor
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = {"g": bases[rng.integers(0, 4, 5000)].tobytes().decode()}
+    index = build_index(genome)
+    aidx = build_anchor_index(genome_text(genome), k=8)
+    didx, params = build_device_anchor(aidx)
+    g = genome["g"]
+    reads = []
+    for _ in range(16):
+        ln = int(rng.integers(150, 400))
+        p = int(rng.integers(0, len(g) - ln))
+        read = list(g[p:p + ln])
+        for _ in range(3):
+            read[int(rng.integers(0, ln))] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append(encode_nt6("".join(read)))
+    seqs, lens = pack_reads(reads)
+    out = {}
+    for n_dev in (1, 2, 8):
+        mesh = make_mesh(n_dev)
+        res = sharded_batch_search_anchor(mesh, didx, params, seqs, lens,
+                                          cap=64)
+        bad = np.asarray(res.incomplete | res.overflow)
+        merged = merge_shard_results(res, len(reads))
+        out[n_dev] = merged
+        for i, enc in enumerate(reads):
+            if bad[i]:
+                continue
+            assert merged[i] == ping_pong_search(index, enc), (n_dev, i)
+    assert out[1] == out[2] == out[8]

@@ -97,6 +97,7 @@ def run_procs(work: dict, wd: str, nprocs: int, device: bool,
                                       stdout=subprocess.DEVNULL,
                                       stderr=subprocess.PIPE))
     stage = 0.0
+    missing = []
     for pid, p in enumerate(procs):
         _, err = p.communicate(timeout=1800)
         if p.returncode != 0:
@@ -104,7 +105,16 @@ def run_procs(work: dict, wd: str, nprocs: int, device: bool,
         m = _STAGE_RE.search(err.decode())
         if m:
             stage = max(stage, float(m.group(2)))
-    return time.time() - t0, stage, out
+        else:
+            missing.append(pid)
+    wall = time.time() - t0
+    if stage == 0.0:
+        # stage line absent (log format drift / suppressed INFO): fall
+        # back to wall time rather than dividing by zero downstream
+        print(f"[scaling] WARNING: no stage line from procs {missing}; "
+              f"using wall time", file=sys.stderr)
+        stage = wall
+    return wall, stage, out
 
 
 def main() -> int:
