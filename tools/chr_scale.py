@@ -36,6 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-mbp", type=int, default=40)
+    ap.add_argument("--n-chrom", type=int, default=1,
+                    help="split the genome over this many chromosomes; "
+                         "reads simulate + write per chromosome so peak "
+                         "RAM stays ~1 chromosome's reads (needed at "
+                         "whole-genome scale)")
     ap.add_argument("--coverage", type=int, default=30)
     ap.add_argument("--read-len", type=int, default=12_000)
     ap.add_argument("--n-sv", type=int, default=60)
@@ -46,6 +51,10 @@ def main() -> int:
     ap.add_argument("--keep", action="store_true",
                     help="keep the workdir (default: wiped first for a "
                          "clean, non-resumed run)")
+    ap.add_argument("--sim-only", action="store_true",
+                    help="simulate + write inputs, then exit (lets the "
+                         "pipeline run be scheduled separately with "
+                         "--keep)")
     args = ap.parse_args()
 
     from svdss_tpu.io.fasta import write_fasta
@@ -64,26 +73,45 @@ def main() -> int:
     if not os.path.exists(ref):
         t0 = time.time()
         rng = np.random.default_rng(args.seed)
-        chroms = random_genome(rng, {"chr21": args.genome_mbp * 1_000_000})
-        per_hap = args.n_sv // 4
-        h1 = make_haplotype(rng, "chr21", chroms["chr21"], n_ins=per_hap,
-                            n_del=per_hap, min_len=50, max_len=400)
-        h2 = make_haplotype(rng, "chr21", chroms["chr21"], n_ins=per_hap,
-                            n_del=args.n_sv - 3 * per_hap, min_len=50,
-                            max_len=400)
-        recs = simulate_reads(rng, [h1, h2], coverage=args.coverage,
-                              read_len=args.read_len)
+        sizes = {}
+        per = args.genome_mbp * 1_000_000 // args.n_chrom
+        for c in range(args.n_chrom):
+            sizes[f"chr{c + 1}"] = per
+        chroms = random_genome(rng, sizes)
         write_fasta(ref, chroms)
-        write_bam(bam, chroms, recs)
-        with open(truth_f, "w") as fh:
-            for hap in (h1, h2):
-                for sv in hap.svs:
-                    fh.write(f"{sv.type}\t{sv.pos}\t{sv.length}\n")
+        sv_per_hc = max(1, args.n_sv // (2 * args.n_chrom * 2))
+        n_reads = 0
+        from svdss_tpu.io.bam import BamHeader, BamWriter
+        header = BamHeader.from_refs(
+            [(n, len(s)) for n, s in chroms.items()])
+        with BamWriter(bam, header) as w, open(truth_f, "w") as fh:
+            for tid, (cname, cseq) in enumerate(chroms.items()):
+                haps = []
+                for hi in range(2):
+                    h = make_haplotype(rng, cname, cseq, n_ins=sv_per_hc,
+                                       n_del=sv_per_hc, min_len=50,
+                                       max_len=400)
+                    haps.append(h)
+                    for sv in h.svs:
+                        fh.write(f"{sv.type}\t{sv.pos}\t{sv.length}\t"
+                                 f"{cname}\n")
+                recs = simulate_reads(rng, haps, coverage=args.coverage,
+                                      read_len=args.read_len)
+                for rec in recs:
+                    rec.tid = tid
+                    rec.qname = f"c{tid}_{rec.qname}"
+                    w.write(rec)
+                n_reads += len(recs)
+                del recs, haps
         t_sim = round(time.time() - t0, 1)
-        n_reads = len(recs)
-        del recs, chroms
+        del chroms
     else:
         n_reads = -1
+
+    if args.sim_only:
+        print(json.dumps({"ok": True, "sim_only": True, "sim_s": t_sim,
+                          "n_reads": n_reads}))
+        return 0
 
     cmd = [sys.executable, "-m", "svdss_tpu.cli", "run",
            "--reference", ref, "--bam", bam,
@@ -118,20 +146,27 @@ def main() -> int:
         except (ValueError, IndexError):
             pass
 
-    truth = [ln.split("\t") for ln in open(truth_f)]
+    truth = [ln.rstrip("\n").split("\t") for ln in open(truth_f)]
     vcf = [ln for ln in open(os.path.join(wd, "out", "variations.vcf"))
            if not ln.startswith("#")]
 
-    def matches(ty: str, pos: int, line: str) -> bool:
+    def matches(ty: str, pos: int, chrom, line: str) -> bool:
+        f = line.split("\t")
         return (f"SVTYPE={ty}" in line
-                and abs(int(line.split("\t")[1]) - pos) < 200)
+                and (chrom is None or f[0] == chrom)
+                and abs(int(f[1]) - pos) < 200)
+
+    def t_chrom(row):
+        return row[3] if len(row) > 3 else None
 
     recovered = sum(
-        1 for ty, pos, _ in truth
-        if any(matches(ty, int(pos), ln) for ln in vcf))
+        1 for row in truth
+        if any(matches(row[0], int(row[1]), t_chrom(row), ln)
+               for ln in vcf))
     tp_calls = sum(
         1 for ln in vcf
-        if any(matches(ty, int(pos), ln) for ty, pos, _ in truth))
+        if any(matches(row[0], int(row[1]), t_chrom(row), ln)
+               for row in truth))
     recall = recovered / max(1, len(truth))
     precision = tp_calls / max(1, len(vcf))
     f1 = (2 * recall * precision / (recall + precision)
