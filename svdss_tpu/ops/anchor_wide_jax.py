@@ -255,9 +255,6 @@ def _lane_reset_wide(Q: int, lens: jax.Array,
         cnt=jnp.zeros(Q, dtype=jnp.int32),
         aux=jnp.zeros(Q, dtype=jnp.uint32),
         occ_i=jnp.zeros(Q, dtype=jnp.int32),
-        prow=jnp.full(Q, -1, dtype=jnp.int32),
-        p0=jnp.zeros(Q, dtype=jnp.uint32),
-        p1=jnp.zeros(Q, dtype=jnp.uint32),
         occ_pos=jnp.zeros(Q, dtype=jnp.uint32),
         ext=jnp.zeros(Q, dtype=jnp.int32),
         best=jnp.zeros(Q, dtype=jnp.int32),
@@ -380,68 +377,94 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                             jnp.where(is_keyb, s["cntb"], s["cnt"]))
         best_eff = jnp.where(is_key, 0, s["best"])
         aux_eff = jnp.where(is_key | is_keyb, aux_g, s["aux"])
-        prow_eff = jnp.where(chain_multi, prow_new,
-                             jnp.where(is_pos, pos_row, s["prow"]))
-        p0_eff = jnp.where(chain_multi, pr[:, 0],
-                           jnp.where(is_pos, pr2[:, 0], s["p0"]))
-        p1_eff = jnp.where(chain_multi, pr[:, 1],
-                           jnp.where(is_pos, pr2[:, 1], s["p1"]))
         # B orientation for lanes whose compare starts THIS round
         on_b_eff = on_b | is_keyb
         left_cmp = ver_like & on_b_eff
         cmp_off = jnp.where(is_key, col_a + k, col_a)
 
-        # ---- text gather (gather 6) + badrow check + compare
-        occ_u = occ_eff
-        t_right = occ_u + jnp.uint32(k) + ext_eff.astype(jnp.uint32)
-        avail_l = occ_u - ext_eff.astype(jnp.uint32)   # symbols left of occ
-        t_left = avail_l - jnp.uint32(1)
-        tstart = jnp.where(left_cmp, t_left, t_right)
-        tr_r = (tstart >> 8).astype(jnp.int32)
-        tr = jnp.where(left_cmp, jnp.clip(tr_r - 1, 0, None), tr_r)
-        tr = jnp.clip(tr, 0, index.text2.shape[0] - 1)
-        trow = index.text2[jnp.where(ver_like, tr, 0)]
-        col_t = (tstart - (jnp.asarray(tr, jnp.uint32) << 8)
-                 ).astype(jnp.int32)
-        # flagged span (non-ACGT in window / past text end) -> host
-        badw = index.badrow[jnp.clip(tr >> 5, 0,
-                                     index.badrow.shape[0] - 1)]
-        row_bad = (jax.lax.shift_right_logical(badw, tr & 31) & 1) == 1
-        fb_new = fb_new | (ver_like & row_bad)
+        # ---- PAIR verify: at whole-genome scale a k-mer averages
+        # n/4^k ~ 23 occurrences per strand, so occurrence iteration
+        # dominates the phase; screening rounds (ext == 0) verify TWO
+        # candidates against the same read span per round (one extra
+        # 8-byte poslist gather + one extra text row). A candidate that
+        # survives its whole window continues solo; if both survive
+        # (two 240+-symbol extensions — vanishingly rare) the second is
+        # re-verified later, which is wasteful but exact.
+        j2 = occ_i_eff + 1
+        slot2 = aux_eff + jnp.asarray(j2, jnp.uint32)
+        pair_ok = ver_like & (ext_eff == 0) & (j2 < cnt_eff) \
+            & ~(a_single | b_single)
+        pr3 = index.pospairs[jnp.where(
+            pair_ok, (slot2 >> 1).astype(jnp.int32), 0)]
+        occ_2nd = jnp.where((slot2 & jnp.uint32(1)) == 1, pr3[:, 1],
+                            pr3[:, 0])
 
-        shifted = _funnel_shift2(trow, col_t - cmp_off)
-        x = shifted ^ chunk
-        mb = (x | jax.lax.shift_right_logical(x, 1)) & jnp.int32(
-            0x55555555)
-        rep = jnp.repeat(mb, 16, axis=1)             # [Q, 512]
-        bsh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
-               & 15) * 2
-        mismn = (jax.lax.shift_right_logical(rep, bsh) & 1) == 1
-        cc = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN2), 1)
-        dist = jnp.where(left_cmp[:, None], cmp_off[:, None] - cc,
-                         cc - cmp_off[:, None])
-        mism = mismn & (dist >= 0)
-        first = jnp.min(jnp.where(mism, dist, SPAN2), axis=1)
-        # remaining-symbol bounds: read cap, span tails, and (left) the
-        # text start
-        run_valid = jnp.where(
-            left_cmp, jnp.minimum(cmp_off, col_t) + 1,
-            SPAN2 - jnp.maximum(cmp_off, col_t))
-        avail32 = jnp.minimum(avail_l, jnp.uint32(1 << 20)
-                              ).astype(jnp.int32)
-        first = jnp.where(left_cmp, jnp.minimum(first, avail32), first)
         vcap = maxlen - k
-        run_cap = vcap - ext_eff
-        run = jnp.minimum(jnp.minimum(first, run_valid), run_cap)
-        ext_new = ext_eff + jnp.maximum(run, 0)
-        hit_text_start = left_cmp & (first >= avail32)
-        cont_occ = (ver_like & (first >= run_valid) & (ext_new < vcap)
-                    & ~hit_text_start)
-        occ_done = ver_like & ~cont_occ
-        best_new = jnp.where(occ_done, jnp.maximum(best_eff, ext_new),
-                             best_eff)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN2), 1)
+
+        def compare(occ_u, ext0, gate):
+            """One text-row compare of the current read span against
+            occurrence occ_u at extension ext0; returns the candidate's
+            (ext_after, survive, row_bad)."""
+            t_right = occ_u + jnp.uint32(k) + ext0.astype(jnp.uint32)
+            avail_l = occ_u - ext0.astype(jnp.uint32)
+            tstart = jnp.where(left_cmp, avail_l - jnp.uint32(1), t_right)
+            tr_r = (tstart >> 8).astype(jnp.int32)
+            tr = jnp.where(left_cmp, jnp.clip(tr_r - 1, 0, None), tr_r)
+            tr = jnp.clip(tr, 0, index.text2.shape[0] - 1)
+            trow = index.text2[jnp.where(gate, tr, 0)]
+            col_t = (tstart - (jnp.asarray(tr, jnp.uint32) << 8)
+                     ).astype(jnp.int32)
+            badw = index.badrow[jnp.clip(tr >> 5, 0,
+                                         index.badrow.shape[0] - 1)]
+            row_bad = gate & ((jax.lax.shift_right_logical(
+                badw, tr & 31) & 1) == 1)
+            shifted = _funnel_shift2(trow, col_t - cmp_off)
+            x = shifted ^ chunk
+            mb = (x | jax.lax.shift_right_logical(x, 1)) & jnp.int32(
+                0x55555555)
+            rep = jnp.repeat(mb, 16, axis=1)             # [Q, 512]
+            bsh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
+                   & 15) * 2
+            mismn = (jax.lax.shift_right_logical(rep, bsh) & 1) == 1
+            dist = jnp.where(left_cmp[:, None], cmp_off[:, None] - cc,
+                             cc - cmp_off[:, None])
+            mism = mismn & (dist >= 0)
+            first = jnp.min(jnp.where(mism, dist, SPAN2), axis=1)
+            run_valid = jnp.where(
+                left_cmp, jnp.minimum(cmp_off, col_t) + 1,
+                SPAN2 - jnp.maximum(cmp_off, col_t))
+            avail32 = jnp.minimum(avail_l, jnp.uint32(1 << 20)
+                                  ).astype(jnp.int32)
+            first = jnp.where(left_cmp, jnp.minimum(first, avail32),
+                              first)
+            run_cap = vcap - ext0
+            run = jnp.minimum(jnp.minimum(first, run_valid), run_cap)
+            ext_after = ext0 + jnp.maximum(run, 0)
+            hit_start = left_cmp & (first >= avail32)
+            survive = (gate & (first >= run_valid) & (ext_after < vcap)
+                       & ~hit_start)
+            return ext_after, survive, row_bad
+
+        ext1_new, survive1, bad1 = compare(occ_eff, ext_eff, ver_like)
+        ext2_new, survive2, bad2 = compare(occ_2nd,
+                                           jnp.zeros_like(ext_eff),
+                                           pair_ok)
+        fb_new = fb_new | bad1 | bad2
+
+        best_new = best_eff
+        best_new = jnp.where(ver_like & ~survive1,
+                             jnp.maximum(best_new, ext1_new), best_new)
+        best_new = jnp.where(pair_ok & ~survive2,
+                             jnp.maximum(best_new, ext2_new), best_new)
         early = best_new >= vcap
-        more_occ = occ_done & (occ_i_eff + 1 < cnt_eff) & ~early
+        cont_occ = ver_like & ~early & (survive1 | (pair_ok & survive2))
+        cont_from2 = ~survive1 & pair_ok & survive2
+        occ_done = ver_like & ~cont_occ
+        # occurrences consumed this round (a surviving candidate keeps
+        # its index; re-verification of a both-survive second is exact)
+        next_i = occ_i_eff + jnp.where(pair_ok, 2, 1)
+        more_occ = occ_done & (next_i < cnt_eff) & ~early
         # orientation handoff: A exhausted and B has occurrences (lanes
         # whose chained A verify resolves in their KEY round read the
         # B count computed THIS round, not the stale state)
@@ -450,14 +473,8 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                 & (cntb_eff >= 1) & ~early)
         to_b = to_b | skip_to_b
         ver_resolve = occ_done & ~more_occ & ~to_b
-
-        occ_i2 = jnp.where(more_occ, occ_i_eff + 1, occ_i_eff)
-        nrow_idx = ((aux_eff + jnp.asarray(occ_i2, jnp.uint32)) >> 1
-                    ).astype(jnp.int32)
-        cached = more_occ & (nrow_idx == prow_eff)
-        occ_from_cache = jnp.where(
-            ((aux_eff + jnp.asarray(occ_i2, jnp.uint32)) & 1) == 1,
-            p1_eff, p0_eff)
+        occ_i2 = jnp.where(more_occ, next_i,
+                           jnp.where(cont_from2, j2, occ_i_eff))
 
         # ---- SUB cascade (two-strand bitmaps, single lookup)
         key_j = jax.lax.shift_right_logical(
@@ -520,8 +537,7 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         mode2 = jnp.where(k_empty, SUB, mode2)
         mode2 = jnp.where(to_sub_short, SUB, mode2)
         mode2 = jnp.where(cont_occ, VER, mode2)
-        mode2 = jnp.where(more_occ & cached, VER, mode2)
-        mode2 = jnp.where(more_occ & ~cached, POS, mode2)
+        mode2 = jnp.where(more_occ, POS, mode2)
         mode2 = jnp.where(to_b, KEYB, mode2)
         strand2 = jnp.where(to_fwd | restart, 0,
                             jnp.where(to_b, 1, strand))
@@ -535,10 +551,11 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                          jnp.where(is_keyb, s["cntb"], s["cnt"]))
         aux2 = aux_eff
         occ2 = occ_i2
-        occ_pos2 = jnp.where(more_occ & cached, occ_from_cache,
-                             jnp.where(cont_occ, occ_eff, s["occ_pos"]))
-        prow2 = jnp.where(more_occ & ~cached, -1, prow_eff)
-        ext2 = jnp.where(cont_occ, ext_new,
+        occ_pos2 = jnp.where(cont_occ,
+                             jnp.where(cont_from2, occ_2nd, occ_eff),
+                             s["occ_pos"])
+        ext2 = jnp.where(cont_occ,
+                         jnp.where(cont_from2, ext2_new, ext1_new),
                          jnp.where(ver_like | is_key | is_keyb, 0,
                                    s["ext"]))
         best2 = jnp.where(ver_like, best_new,
@@ -548,10 +565,10 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         out.update(rounds=s["rounds"] + 1, active=active2, fb=fb2,
                    dirb=dir2, mode=mode2, anc=anc2, strand=strand2,
                    key=key2, keyb=keyb2, cntb=cntb2, subj=subj2,
-                   cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2,
-                   p0=p0_eff, p1=p1_eff, occ_pos=occ_pos2, ext=ext2,
-                   best=best2, nstage=nstage, stage_qs=stage_qs,
-                   stage_l=stage_l, age=age2, done_r=done_r2)
+                   cnt=cnt2, aux=aux2, occ_i=occ2, occ_pos=occ_pos2,
+                   ext=ext2, best=best2, nstage=nstage,
+                   stage_qs=stage_qs, stage_l=stage_l, age=age2,
+                   done_r=done_r2)
         return out
 
     return round_body
