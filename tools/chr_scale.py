@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--read-len", type=int, default=12_000)
     ap.add_argument("--n-sv", type=int, default=60)
     ap.add_argument("--threads", type=int, default=2)
+    ap.add_argument("--engine", default=None,
+                    choices=(None, "auto", "anchor", "fm"),
+                    help="forwarded to the run driver's --engine")
     ap.add_argument("--seed", type=int, default=21)
     ap.add_argument("--workdir", default="/tmp/svdss_chr_scale")
     ap.add_argument("--no-device", action="store_true")
@@ -119,6 +122,8 @@ def main() -> int:
            "--threads", str(args.threads)]
     if args.no_device:
         cmd.append("--no-device")
+    if args.engine:
+        cmd += ["--engine", args.engine]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True)
     t_total = round(time.time() - t0, 1)
