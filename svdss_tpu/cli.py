@@ -78,7 +78,10 @@ def _build_anchor(chroms, index_path: str, cmax: int) -> None:
     from .utils.seq import encode_nt6
     text = genome_text(chroms)
     t0 = _time.time()
-    if len(text) >= 2 ** 31:
+    # SVDSS_TPU_WIDE_ANCHOR=1 forces the wide (forward-strand) tables
+    # below the 2^31 threshold — half the build RAM and device memory
+    # of the two-strand tables, at some rounds/read cost
+    if len(text) >= 2 ** 31 or os.environ.get("SVDSS_TPU_WIDE_ANCHOR"):
         from .ops.anchor_wide import build_anchor_index_wide, WIDE_CMAX
         del text
         parts = []

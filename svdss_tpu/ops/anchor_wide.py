@@ -166,7 +166,17 @@ def _keys_and_clean(text: np.ndarray, k: int,
     return keys, cleanc
 
 
-def build_anchor_index_wide(text: np.ndarray, k: int = WIDE_K,
+def pick_k_wide(n: int) -> int:
+    """Anchor k-mer size for a forward text of n symbols: ~log4(2n)
+    keeps per-anchor occurrence counts low while the direct tables stay
+    a few bytes per symbol (capped at WIDE_K — 4^k rows of meta)."""
+    k = 8
+    while 4 ** k < 2 * n and k < WIDE_K:
+        k += 1
+    return k
+
+
+def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
                             cmax: int = WIDE_CMAX,
                             log: Optional[Callable[[str], None]] = None,
                             block: int = 1 << 27) -> AnchorIndexWide:
@@ -182,6 +192,8 @@ def build_anchor_index_wide(text: np.ndarray, k: int = WIDE_K,
     text = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(text)
     assert n < 2 ** 32, "wide anchor coordinates are uint32"
+    if k is None:
+        k = pick_k_wide(n)
     nk = 1 << (2 * k)
 
     keys, cleanc = _keys_and_clean(text, k, block)
