@@ -55,8 +55,12 @@ def main() -> int:
                                            build_anchor_index_wide)
     from svdss_tpu.utils.seq import encode_nt6
 
-    rng = np.random.default_rng(11)
-    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    def chrom_nt6(seed: int, n: int) -> np.ndarray:
+        """Deterministic per-chromosome nt6 sequence (uniform ACGT),
+        generated directly as codes 1..4 — the read generator below
+        regenerates chromosome 1 with the same (seed, n)."""
+        return np.random.default_rng(seed).integers(
+            1, 5, n, dtype=np.uint8)
 
     if os.path.exists(args.anchor):
         t0 = time.time()
@@ -68,11 +72,7 @@ def main() -> int:
         # handled query-side; two-strand symbol count = 2n)
         parts = []
         for i in range(args.n_chrom):
-            arr = bases[rng.integers(0, 4, args.chrom_mbp * 1_000_000)]
-            enc = np.zeros(len(arr), dtype=np.uint8)
-            for j, b in enumerate(b"ACGT"):
-                enc[arr == b] = j + 1
-            parts.append(enc)
+            parts.append(chrom_nt6(1000 + i, args.chrom_mbp * 1_000_000))
             parts.append(np.zeros(1, dtype=np.uint8))
         text = np.concatenate(parts[:-1])
         del parts
@@ -100,12 +100,8 @@ def main() -> int:
                   + widx.poslist.nbytes + widx.text.nbytes // 2)
     out["table_bytes_est_gb"] = round((host_bytes) / 2**30, 2)
 
-    # reads from chr1 coordinates (same scheme as giant_validation)
-    rng = np.random.default_rng(11)
-    chr1 = bases[rng.integers(0, 4, args.chrom_mbp * 1_000_000)]
-    g6 = np.zeros(len(chr1), dtype=np.uint8)
-    for i, b in enumerate(b"ACGT"):
-        g6[chr1 == b] = i + 1
+    # reads from chr1 coordinates
+    g6 = chrom_nt6(1000, args.chrom_mbp * 1_000_000)
     rr = np.random.default_rng(7)
     L = args.read_len
     reads = np.zeros((args.reads, L + 1), dtype=np.uint8)
@@ -122,24 +118,42 @@ def main() -> int:
         reads[i, at + 100:L] = reads[i, at:L - 100].copy()
         reads[i, at:at + 100] = ins
 
-    # host truth + fallback engine (native FM over the 6.2G index)
-    from svdss_tpu.index.fmd import FMDIndex
-    from svdss_tpu.ops.pingpong_native import open_native_fmd
-    t0 = time.time()
-    index = FMDIndex.load(args.fm_index)
-    print(f"[wide] FM index loaded in {time.time()-t0:.0f}s", flush=True)
-    nf = open_native_fmd(index, threads=2)
-    assert nf is not None
+    # Host truth: the native FM engine over the matching 6.2G FMD index
+    # when one is on disk (the full giant_validation artifact, ~1h to
+    # build); otherwise the wide host oracle (anchor_search_wide), which
+    # CI pins bit-identical to the FM ping-pong at small scale
+    # (tests/test_anchor_wide.py) — device-resolved reads are verified
+    # against it after the device pass, and fallback-flagged reads are
+    # counted (the oracle raises NeedsFallback on exactly those).
     encoded = [reads[i, :L].copy() for i in range(args.reads)]
-    t0 = time.time()
-    host_res = nf.search_batch(encoded, threads=2)
-    out["host_search_s"] = round(time.time() - t0, 1)
-    out["host_reads_per_s_2t"] = round(args.reads / out["host_search_s"],
-                                       1)
-    out["host_reads_per_s_16t_est"] = round(
-        8 * args.reads / out["host_search_s"], 1)
-    print(f"[wide] host truth: {out['host_search_s']}s "
-          f"({out['host_reads_per_s_2t']}/s at 2t)", flush=True)
+    nf = None
+    host_res = None
+    if args.fm_index and os.path.exists(args.fm_index):
+        from svdss_tpu.index.fmd import FMDIndex
+        from svdss_tpu.ops.pingpong_native import open_native_fmd
+        t0 = time.time()
+        index = FMDIndex.load(args.fm_index)
+        print(f"[wide] FM index loaded in {time.time()-t0:.0f}s",
+              flush=True)
+        nf = open_native_fmd(index, threads=2)
+        assert nf is not None
+        t0 = time.time()
+        host_res = nf.search_batch(encoded, threads=2)
+        out["host_search_s"] = round(time.time() - t0, 1)
+        out["host_reads_per_s_2t"] = round(
+            args.reads / out["host_search_s"], 1)
+        out["host_reads_per_s_16t_est"] = round(
+            8 * args.reads / out["host_search_s"], 1)
+        print(f"[wide] host truth: {out['host_search_s']}s "
+              f"({out['host_reads_per_s_2t']}/s at 2t)", flush=True)
+    else:
+        # CPU estimate at scale: the FM walk's per-read cost is
+        # text-size-insensitive past cache scale — GIANT_r02 measured
+        # 409.6 reads/s at 2 threads on the 3.2G-symbol index on this
+        # host class; reuse its x8 extrapolation, labeled as such.
+        out["host_truth"] = "wide-oracle (FM index not on disk)"
+        out["host_reads_per_s_16t_est"] = 3276.8
+        out["host_est_source"] = "GIANT_r02 3.2G-symbol native FM, 2t x8"
 
     # device
     from svdss_tpu.utils.device import init_device_runtime
@@ -170,6 +184,7 @@ def main() -> int:
     mism = 0
     n_fb = 0
     n_dev = 0
+    device_got = {}
     for base in range(0, args.reads, Q):
         sj = jnp.asarray(reads[base:base + Q])
         lj = jnp.asarray(lens[base:base + Q])
@@ -180,7 +195,7 @@ def main() -> int:
         ln = np.asarray(res.length)
         nn = np.asarray(res.n_sfs)
         redo = np.nonzero(bad)[0]
-        if len(redo):
+        if len(redo) and nf is not None:
             nf.search_batch([encoded[base + i] for i in redo], threads=2)
         t_total += time.time() - t0
         n_fb += len(redo)
@@ -189,10 +204,38 @@ def main() -> int:
                 continue
             n_dev += 1
             got = list(zip(qs[i, :nn[i]].tolist(), ln[i, :nn[i]].tolist()))
-            if got != host_res[base + i]:
+            if host_res is not None:
+                if got != host_res[base + i]:
+                    mism += 1
+            else:
+                device_got[base + i] = got
+    if host_res is None:
+        from svdss_tpu.ops.anchor_wide import anchor_search_wide
+        t0 = time.time()
+        checked = 0
+        for ridx, got in device_got.items():
+            try:
+                want = anchor_search_wide(widx, encoded[ridx])
+            except Exception:
+                mism += 1          # oracle falls back where device resolved
+                continue
+            checked += 1
+            if got != [(b, ln) for b, ln in want]:
                 mism += 1
+            if checked % 256 == 0:
+                print(f"[wide] oracle verify {checked}/{len(device_got)} "
+                      f"({time.time()-t0:.0f}s, {mism} mism)", flush=True)
+        out["oracle_verify_s"] = round(time.time() - t0, 1)
+        print(f"[wide] oracle verified {checked} device-resolved reads "
+              f"in {out['oracle_verify_s']}s, {mism} mismatches",
+              flush=True)
     out["device_search_s"] = round(t_total, 2)
     out["device_reads_per_s"] = round(args.reads / t_total, 1)
+    if nf is None and n_fb:
+        # no FM engine on disk to time the redo of fallback lanes; the
+        # honest rate then is device-resolved reads over device time
+        out["device_resolved_reads_per_s"] = round(
+            (args.reads - n_fb) / t_total, 1)
     out["fallback_reads"] = n_fb
     out["device_resolved_reads"] = n_dev
     out["mismatches"] = mism
