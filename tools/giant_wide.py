@@ -37,6 +37,23 @@ def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
 
 
+def _flush_partial(out: dict, args, t_total: float, n_fb: int,
+                   n_dev: int, mism: int) -> None:
+    """Write the report JSON incrementally so device-phase numbers
+    survive even if the slow host-oracle pass is cut short."""
+    out["device_search_s"] = round(t_total, 2)
+    out["device_reads_per_s"] = round(args.reads / t_total, 1)
+    out["fallback_reads"] = n_fb
+    out["device_resolved_reads"] = n_dev
+    if n_fb:
+        out["device_resolved_reads_per_s"] = round(
+            (args.reads - n_fb) / t_total, 1)
+    out["mismatches"] = mism
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chrom-mbp", type=int, default=194)
@@ -44,6 +61,21 @@ def main() -> int:
     ap.add_argument("--reads", type=int, default=2048)
     ap.add_argument("--read-len", type=int, default=10_000)
     ap.add_argument("--cmax", type=int, default=44)
+    ap.add_argument("--verify", type=int, default=1152,
+                    help="oracle-truth mode: number of device-resolved "
+                         "reads to verify against the wide host oracle "
+                         "(~0.3s/read in Python; >=1000 meets the "
+                         "done-criterion)")
+    ap.add_argument("--oracle-only", default=None, metavar="A:B",
+                    help="worker mode: load the anchor tables, run the "
+                         "wide host oracle on reads [A, B) and append "
+                         "JSON lines to --oracle-out — lets oracle "
+                         "truth run in parallel processes while the "
+                         "main run drives the device")
+    ap.add_argument("--oracle-out", default="/tmp/giant62_oracle.jsonl")
+    ap.add_argument("--dump-device", default="/tmp/giant62_device.json",
+                    help="oracle-truth mode: dump per-read device "
+                         "results here for offline comparison")
     ap.add_argument("--fm-index", default="/tmp/giant62_index.npz")
     ap.add_argument("--anchor", default="/tmp/giant62_anchor.npz")
     ap.add_argument("--out", default="docs/GIANT_WIDE_r03.json")
@@ -117,6 +149,22 @@ def main() -> int:
         ins = rr.integers(1, 5, 100).astype(np.uint8)
         reads[i, at + 100:L] = reads[i, at:L - 100].copy()
         reads[i, at:at + 100] = ins
+
+    if args.oracle_only:
+        from svdss_tpu.ops.anchor_wide import anchor_search_wide
+        a, b = (int(x) for x in args.oracle_only.split(":"))
+        t0 = time.time()
+        with open(args.oracle_out, "a") as f:
+            for i in range(a, min(b, args.reads)):
+                try:
+                    want = anchor_search_wide(widx, reads[i, :L])
+                except Exception:
+                    want = None              # oracle fallback (heavy/N)
+                f.write(json.dumps([i, want]) + "\n")
+                f.flush()
+        print(f"[wide-oracle] reads [{a},{min(b, args.reads)}) in "
+              f"{time.time()-t0:.0f}s", flush=True)
+        return 0
 
     # Host truth: the native FM engine over the matching 6.2G FMD index
     # when one is on disk (the full giant_validation artifact, ~1h to
@@ -210,10 +258,18 @@ def main() -> int:
             else:
                 device_got[base + i] = got
     if host_res is None:
+        # device numbers are complete at this point — persist them
+        # before the (slow, pure-Python) oracle verification pass
+        _flush_partial(out, args, t_total, n_fb, n_dev, mism)
+        if args.dump_device:
+            with open(args.dump_device, "w") as f:
+                json.dump({str(i): g for i, g in device_got.items()}, f)
         from svdss_tpu.ops.anchor_wide import anchor_search_wide
         t0 = time.time()
         checked = 0
         for ridx, got in device_got.items():
+            if checked >= args.verify:
+                break
             try:
                 want = anchor_search_wide(widx, encoded[ridx])
             except Exception:
@@ -222,9 +278,14 @@ def main() -> int:
             checked += 1
             if got != [(b, ln) for b, ln in want]:
                 mism += 1
-            if checked % 256 == 0:
-                print(f"[wide] oracle verify {checked}/{len(device_got)} "
+            if checked % 128 == 0:
+                print(f"[wide] oracle verify {checked}/"
+                      f"{min(args.verify, len(device_got))} "
                       f"({time.time()-t0:.0f}s, {mism} mism)", flush=True)
+                out["oracle_verified_reads"] = checked
+                out["mismatches"] = mism
+                _flush_partial(out, args, t_total, n_fb, n_dev, mism)
+        out["oracle_verified_reads"] = checked
         out["oracle_verify_s"] = round(time.time() - t0, 1)
         print(f"[wide] oracle verified {checked} device-resolved reads "
               f"in {out['oracle_verify_s']}s, {mism} mismatches",
@@ -241,7 +302,9 @@ def main() -> int:
     out["mismatches"] = mism
     out["vs_host_16t_est"] = round(out["device_reads_per_s"]
                                    / out["host_reads_per_s_16t_est"], 2)
-    out["ok"] = mism == 0 and n_dev >= 1000
+    verified = (n_dev if host_res is not None
+                else out.get("oracle_verified_reads", 0))
+    out["ok"] = mism == 0 and verified >= 1000
     print(json.dumps(out), flush=True)
     if args.out:
         with open(args.out, "w") as f:
