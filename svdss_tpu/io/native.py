@@ -37,6 +37,20 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64)]
         lib.svdss_bam_scan.restype = ctypes.c_int
         lib.svdss_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "svdss_wide_keys"):    # widebuild.cpp (newer .so)
+            lib.svdss_wide_keys.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.svdss_wide_keys.restype = None
+            lib.svdss_wide_count.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p]
+            lib.svdss_wide_count.restype = None
+            lib.svdss_wide_scatter.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.svdss_wide_scatter.restype = ctypes.c_int64
         _LIB = lib
     return _LIB
 

@@ -153,7 +153,7 @@ def _keys_and_clean(text: np.ndarray, k: int,
         acc = np.zeros(m, dtype=np.int32)
         for i in range(k):
             sh = np.zeros(m, dtype=np.int32)
-            sh[i:] = t[: m - i]
+            sh[i:] = t[: max(0, m - i)]
             acc += sh << (2 * i)
         keys[lo:hi] = acc[lo - s:]
         del acc, t
@@ -176,14 +176,29 @@ def pick_k_wide(n: int) -> int:
     return k
 
 
+def _native_wide():
+    """The widebuild.cpp entry points, or None (pure-numpy fallback)."""
+    try:
+        from ..io.native import load
+        lib = load()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "svdss_wide_keys"):
+        return None
+    return lib
+
+
 def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
                             cmax: int = WIDE_CMAX,
                             log: Optional[Callable[[str], None]] = None,
-                            block: int = 1 << 27) -> AnchorIndexWide:
+                            block: int = 1 << 27,
+                            use_native: bool = True) -> AnchorIndexWide:
     """Build wide tables over a FORWARD text (n < 2^32).
 
-    Chunked passes keep peak host memory ~20 B/symbol (dominated by the
-    poslist argsort), so a 3.1G-symbol genome builds in ~65 GB RAM.
+    The keys/count/scatter passes run in native C++ when
+    native/libsvdss_native.so is built (bit-identical, ~20x faster at
+    GRCh38 scale — the numpy keys pass alone is ~25 min at 3.1G
+    symbols); peak host memory ~20 B/symbol either way.
     """
     def say(msg):
         if log:
@@ -195,17 +210,29 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
     if k is None:
         k = pick_k_wide(n)
     nk = 1 << (2 * k)
+    lib = _native_wide() if use_native else None
 
-    keys, cleanc = _keys_and_clean(text, k, block)
+    if lib is not None:
+        keys = np.empty(n, dtype=np.int32)
+        cleanc = np.empty(n, dtype=np.uint8)
+        lib.svdss_wide_keys(text.ctypes.data, n, k,
+                            keys.ctypes.data, cleanc.ctypes.data)
+    else:
+        keys, cleanc = _keys_and_clean(text, k, block)
     say("keys built")
 
-    # counts (chunked bincount)
-    cnts_full = np.zeros(nk + 1, dtype=np.int64)
-    for lo in range(0, n, block):
-        hi = min(n, lo + block)
-        kb = np.where(cleanc[lo:hi] >= min(k, 255), keys[lo:hi], nk)
-        cnts_full += np.bincount(kb, minlength=nk + 1)
-    cnts_full = cnts_full[:nk]
+    # counts
+    if lib is not None:
+        cnts_full = np.zeros(nk, dtype=np.int64)
+        lib.svdss_wide_count(keys.ctypes.data, cleanc.ctypes.data, n, k,
+                             cnts_full.ctypes.data)
+    else:
+        cnts_full = np.zeros(nk + 1, dtype=np.int64)
+        for lo in range(0, n, block):
+            hi = min(n, lo + block)
+            kb = np.where(cleanc[lo:hi] >= min(k, 255), keys[lo:hi], nk)
+            cnts_full += np.bincount(kb, minlength=nk + 1)
+        cnts_full = cnts_full[:nk]
     say(f"{int(cnts_full.sum())} valid windows, "
         f"{int((cnts_full > 0).sum())} distinct k-mers")
 
@@ -248,29 +275,44 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
     assert np_total < 2 ** 32, "poslist offsets are uint32"
     aux[keep] = seg[:-1][keep].astype(np.uint32)
 
-    # gather the kept entries (chunked), then one stable argsort groups
-    # positions by key; singleton inline positions fill in the same pass
-    vk = np.empty(np_total, dtype=np.int32)
-    st = np.empty(np_total, dtype=np.uint32)
     single = cnts_full == 1
-    w = 0
-    for lo in range(0, n, block):
-        hi = min(n, lo + block)
-        kb = keys[lo:hi]
-        okb = cleanc[lo:hi] >= min(k, 255)
-        starts_b = (np.arange(lo, hi, dtype=np.int64) - (k - 1))
-        ke = okb & keep[kb]
-        m = int(ke.sum())
-        vk[w:w + m] = kb[ke]
-        st[w:w + m] = starts_b[ke].astype(np.uint32)
-        w += m
-        se = okb & single[kb]
-        aux[kb[se]] = starts_b[se].astype(np.uint32)
-    assert w == np_total, "kept-entry count mismatch"
-    del keys, cleanc
-    order = np.argsort(vk, kind="stable")
-    poslist = np.ascontiguousarray(st[order])
-    del vk, st, order
+    if lib is not None:
+        # counting-sort scatter: per key, positions ascending — the
+        # same grouped order the stable argsort below produces
+        cursor = seg[:-1].copy()
+        poslist = np.empty(np_total, dtype=np.uint32)
+        keep_u8 = keep.astype(np.uint8)
+        single_u8 = single.astype(np.uint8)
+        written = lib.svdss_wide_scatter(
+            keys.ctypes.data, cleanc.ctypes.data, n, k,
+            keep_u8.ctypes.data, cursor.ctypes.data,
+            poslist.ctypes.data, single_u8.ctypes.data, aux.ctypes.data)
+        assert written == np_total, "kept-entry count mismatch"
+        del keys, cleanc, cursor, keep_u8, single_u8
+    else:
+        # gather the kept entries (chunked), then one stable argsort
+        # groups positions by key; singleton inline positions fill in
+        # the same pass
+        vk = np.empty(np_total, dtype=np.int32)
+        st = np.empty(np_total, dtype=np.uint32)
+        w = 0
+        for lo in range(0, n, block):
+            hi = min(n, lo + block)
+            kb = keys[lo:hi]
+            okb = cleanc[lo:hi] >= min(k, 255)
+            starts_b = (np.arange(lo, hi, dtype=np.int64) - (k - 1))
+            ke = okb & keep[kb]
+            m = int(ke.sum())
+            vk[w:w + m] = kb[ke]
+            st[w:w + m] = starts_b[ke].astype(np.uint32)
+            w += m
+            se = okb & single[kb]
+            aux[kb[se]] = starts_b[se].astype(np.uint32)
+        assert w == np_total, "kept-entry count mismatch"
+        del keys, cleanc
+        order = np.argsort(vk, kind="stable")
+        poslist = np.ascontiguousarray(st[order])
+        del vk, st, order
     say(f"poslist {np_total} entries")
 
     cnts = np.minimum(cnts_full, 255).astype(np.uint8)

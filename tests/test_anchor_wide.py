@@ -164,3 +164,46 @@ def test_chunked_build_matches_one_shot():
     assert a.j0 == b.j0 and sorted(a.levels) == sorted(b.levels)
     for j in a.levels:
         assert np.array_equal(a.levels[j], b.levels[j])
+
+
+class TestNativeBuildParity:
+    """widebuild.cpp keys/count/scatter passes vs the pure-numpy build:
+    every table product must be bit-identical (the native path is a
+    drop-in replacement used automatically when the library loads)."""
+
+    @pytest.fixture(scope="class")
+    def lib(self):
+        from svdss_tpu.ops.anchor_wide import _native_wide
+        lib = _native_wide()
+        if lib is None:
+            pytest.skip("native library not built")
+        return lib
+
+    @pytest.mark.parametrize("seed,size,with_n", [
+        (1, 4000, False), (2, 4000, True), (3, 50_000, True),
+    ])
+    def test_products_identical(self, lib, seed, size, with_n):
+        rng = np.random.default_rng(seed)
+        text = rng.integers(1, 5, size).astype(np.uint8)
+        if with_n:
+            # non-ACGT symbols: separators (0) and N (5)
+            text[rng.integers(0, size, size // 200)] = 0
+            text[rng.integers(0, size, size // 200)] = 5
+        a = build_anchor_index_wide(text.copy(), k=8, cmax=12,
+                                    use_native=True)
+        b = build_anchor_index_wide(text.copy(), k=8, cmax=12,
+                                    use_native=False)
+        np.testing.assert_array_equal(a.cnts, b.cnts)
+        np.testing.assert_array_equal(a.aux, b.aux)
+        np.testing.assert_array_equal(a.poslist, b.poslist)
+        assert a.j0 == b.j0 and a.k == b.k
+        assert sorted(a.levels) == sorted(b.levels)
+        for j in a.levels:
+            np.testing.assert_array_equal(a.levels[j], b.levels[j])
+
+    def test_short_text(self, lib):
+        text = np.array([1, 2, 3], dtype=np.uint8)   # n < k
+        a = build_anchor_index_wide(text.copy(), k=8, use_native=True)
+        b = build_anchor_index_wide(text.copy(), k=8, use_native=False)
+        np.testing.assert_array_equal(a.cnts, b.cnts)
+        np.testing.assert_array_equal(a.poslist, b.poslist)
