@@ -17,6 +17,21 @@ import numpy as np
 _LIB = None
 
 
+def _try_build(native_dir: str) -> None:
+    """Build the library in-place when only the sources are present.
+
+    The machine (and any previously built .so) resets between sessions;
+    without this, long-running tools silently fall back to the slow
+    numpy paths (a 6.2G wide-table build is ~87 min numpy vs ~10 min
+    native). make is idempotent and takes seconds."""
+    import subprocess
+    try:
+        subprocess.run(["make", "-s"], cwd=native_dir, check=True,
+                       capture_output=True, timeout=300)
+    except Exception:
+        pass                        # fall through to the Python paths
+
+
 def load() -> Optional[ctypes.CDLL]:
     # only a successful load is cached: the library may be built after the
     # first (failed) lookup, e.g. by tests/test_native.py's module fixture
@@ -26,6 +41,8 @@ def load() -> Optional[ctypes.CDLL]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     cand = os.path.join(here, "native", "libsvdss_native.so")
+    if not os.path.exists(cand):
+        _try_build(os.path.dirname(cand))
     if os.path.exists(cand):
         lib = ctypes.CDLL(cand)
         lib.svdss_bgzf_read.argtypes = [

@@ -209,6 +209,10 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
     assert n < 2 ** 32, "wide anchor coordinates are uint32"
     if k is None:
         k = pick_k_wide(n)
+    # int32 keys host+native; native widebuild.cpp's (1u << 2k) - 1
+    # mask is UB at k >= 16, so reject explicit k past the key width
+    # even though pick_k_wide caps at 14
+    assert 1 <= k <= 15, f"wide anchor k={k} exceeds int32 key range"
     nk = 1 << (2 * k)
     lib = _native_wide() if use_native else None
 

@@ -43,15 +43,38 @@ def main() -> int:
 
     from svdss_tpu.index.fmd import FMDIndex, build_index
 
-    rng = np.random.default_rng(11)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    # Same per-chromosome generation scheme (and stamp sidecar) as
+    # tools/giant_wide.py, so the FM index built here is a valid host
+    # truth source for giant_wide's reads. A cached index with a
+    # present-but-different stamp is refused; an unstamped one (old
+    # rng(11) single-stream scheme) is refused for reuse too, since the
+    # reads below are chrom_nt6-generated.
+    scheme = {"scheme": "chrom_nt6-per-chrom", "seeds": "1000+i",
+              "chrom_mbp": args.chrom_mbp, "n_chrom": args.n_chrom}
+
+    def chrom_nt6(seed: int, n: int) -> np.ndarray:
+        return np.random.default_rng(seed).integers(
+            1, 5, n, dtype=np.uint8)
+
     if args.skip_build and os.path.exists(args.index):
+        sp = args.index + ".scheme.json"
+        if not os.path.exists(sp):
+            raise SystemExit(
+                f"{args.index} has no scheme stamp (old rng(11) "
+                f"genome?) — rebuild without --skip-build")
+        with open(sp) as f:
+            got = json.load(f)
+        if got != scheme:
+            raise SystemExit(f"{args.index} scheme {got} != {scheme}")
         index = FMDIndex.load(args.index)
         print(f"[giant] loaded index: {index.n} symbols", flush=True)
     else:
         chroms = {}
         for i in range(args.n_chrom):
-            arr = bases[rng.integers(0, 4, args.chrom_mbp * 1_000_000)]
+            arr = bases[chrom_nt6(1000 + i,
+                                  args.chrom_mbp * 1_000_000) - 1]
             chroms[f"chr{i + 1}"] = arr.tobytes().decode()
         print(f"[giant] genome: {args.n_chrom} x {args.chrom_mbp} Mbp",
               flush=True)
@@ -64,17 +87,15 @@ def main() -> int:
         del chroms
         t0 = time.time()
         index.save(args.index)
+        with open(args.index + ".scheme.json", "w") as f:
+            json.dump(scheme, f)
         out["save_s"] = round(time.time() - t0, 1)
     out["n_symbols"] = index.n
     assert index.n >= 2**31, "not a wide-mode scale text"
 
     # reads drawn from the forward strand of chr1's coordinates
     # (regenerate chr1 deterministically rather than holding all chroms)
-    rng = np.random.default_rng(11)
-    chr1 = bases[rng.integers(0, 4, args.chrom_mbp * 1_000_000)]
-    g6 = np.zeros(len(chr1), dtype=np.uint8)
-    for i, b in enumerate(b"ACGT"):
-        g6[chr1 == b] = i + 1
+    g6 = chrom_nt6(1000, args.chrom_mbp * 1_000_000)
     rr = np.random.default_rng(7)
     L = args.read_len
     reads = np.zeros((args.reads, L + 1), dtype=np.uint8)

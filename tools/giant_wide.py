@@ -78,7 +78,7 @@ def main() -> int:
                          "results here for offline comparison")
     ap.add_argument("--fm-index", default="/tmp/giant62_index.npz")
     ap.add_argument("--anchor", default="/tmp/giant62_anchor.npz")
-    ap.add_argument("--out", default="docs/GIANT_WIDE_r03.json")
+    ap.add_argument("--out", default="docs/GIANT_WIDE_r04.json")
     args = ap.parse_args()
     out = {"chrom_mbp": args.chrom_mbp, "n_chrom": args.n_chrom,
            "cmax": args.cmax}
@@ -94,7 +94,42 @@ def main() -> int:
         return np.random.default_rng(seed).integers(
             1, 5, n, dtype=np.uint8)
 
+    # Generation-scheme stamp: /tmp artifacts persist across tool
+    # edits, so a cached index built under a different rng scheme would
+    # silently describe a DIFFERENT genome than the reads generated
+    # below and every "mismatch" would be bogus. Each saved artifact
+    # gets a sidecar stamp; a present-but-different stamp is a hard
+    # refusal, a missing stamp (pre-stamp artifact) is used with a
+    # warning recorded in the report.
+    scheme = {"scheme": "chrom_nt6-per-chrom", "seeds": "1000+i",
+              "chrom_mbp": args.chrom_mbp, "n_chrom": args.n_chrom}
+
+    def stamp_path(p: str) -> str:
+        return p + ".scheme.json"
+
+    def write_stamp(p: str) -> None:
+        with open(stamp_path(p), "w") as f:
+            json.dump(scheme, f)
+
+    def check_stamp(p: str, what: str) -> str:
+        """'ok' | 'missing' | raises SystemExit on mismatch."""
+        sp = stamp_path(p)
+        if not os.path.exists(sp):
+            print(f"[wide] WARNING: {what} {p} has no scheme stamp "
+                  f"(pre-stamp artifact); assuming current scheme",
+                  flush=True)
+            return "missing"
+        with open(sp) as f:
+            got = json.load(f)
+        if got != scheme:
+            raise SystemExit(
+                f"{what} {p} was built under a different generation "
+                f"scheme ({got} != {scheme}); delete it or pass a "
+                f"different path")
+        return "ok"
+
     if os.path.exists(args.anchor):
+        out["anchor_stamp"] = check_stamp(args.anchor, "anchor table")
         t0 = time.time()
         widx = AnchorIndexWide.load(args.anchor)
         print(f"[wide] loaded anchor tables in {time.time()-t0:.0f}s "
@@ -120,6 +155,7 @@ def main() -> int:
         out["anchor_build_peak_rss_gb"] = round(rss_gb(), 1)
         t0 = time.time()
         widx.save(args.anchor)
+        write_stamp(args.anchor)
         out["anchor_save_s"] = round(time.time() - t0, 1)
         print(f"[wide] built in {out['anchor_build_s']}s "
               f"(peak RSS {out['anchor_build_peak_rss_gb']} GB)",
@@ -176,7 +212,22 @@ def main() -> int:
     encoded = [reads[i, :L].copy() for i in range(args.reads)]
     nf = None
     host_res = None
-    if args.fm_index and os.path.exists(args.fm_index):
+    fm_ok = bool(args.fm_index) and os.path.exists(args.fm_index)
+    if fm_ok:
+        # Unlike the anchor tables (which this tool builds itself), the
+        # FM index historically came from giant_validation.py's older
+        # rng(11) single-stream scheme — an unstamped index is NOT a
+        # valid truth source for chrom_nt6 reads, so require the stamp.
+        sp = stamp_path(args.fm_index)
+        if not os.path.exists(sp):
+            print(f"[wide] FM index {args.fm_index} has no scheme "
+                  f"stamp — refusing it as host truth (likely the old "
+                  f"rng(11) genome); falling back to the wide oracle",
+                  flush=True)
+            fm_ok = False
+        else:
+            check_stamp(args.fm_index, "FM index")
+    if fm_ok:
         from svdss_tpu.index.fmd import FMDIndex
         from svdss_tpu.ops.pingpong_native import open_native_fmd
         t0 = time.time()
@@ -267,13 +318,18 @@ def main() -> int:
         from svdss_tpu.ops.anchor_wide import anchor_search_wide
         t0 = time.time()
         checked = 0
+        oracle_fb = 0
         for ridx, got in device_got.items():
             if checked >= args.verify:
                 break
             try:
                 want = anchor_search_wide(widx, encoded[ridx])
             except Exception:
-                mism += 1          # oracle falls back where device resolved
+                # the oracle needs host fallback on a read the device
+                # resolved — an oracle-coverage gap, not a device
+                # mismatch; report it separately (matches
+                # giant_wide_compare.py's field)
+                oracle_fb += 1
                 continue
             checked += 1
             if got != [(b, ln) for b, ln in want]:
@@ -286,10 +342,11 @@ def main() -> int:
                 out["mismatches"] = mism
                 _flush_partial(out, args, t_total, n_fb, n_dev, mism)
         out["oracle_verified_reads"] = checked
+        out["oracle_fallback_on_device_resolved"] = oracle_fb
         out["oracle_verify_s"] = round(time.time() - t0, 1)
         print(f"[wide] oracle verified {checked} device-resolved reads "
-              f"in {out['oracle_verify_s']}s, {mism} mismatches",
-              flush=True)
+              f"in {out['oracle_verify_s']}s, {mism} mismatches, "
+              f"{oracle_fb} oracle-fallbacks", flush=True)
     out["device_search_s"] = round(t_total, 2)
     out["device_reads_per_s"] = round(args.reads / t_total, 1)
     if nf is None and n_fb:
