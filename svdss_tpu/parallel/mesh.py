@@ -107,3 +107,45 @@ def sharded_batch_search_anchor(mesh: Mesh, index, params, seqs, lens,
     index, seqs, lens = shard_anchor_inputs(mesh, index, seqs, lens, axis)
     return batch_search_anchor(index, params, seqs, lens, cap=cap,
                                overlap=overlap)
+
+
+# ----------------------------------------------- wide anchor engine
+
+def shard_anchor_wide_inputs(mesh: Mesh, index, seqs, lens,
+                             axis: str = "reads"):
+    """Wide-engine placement: every table replicated, reads sharded.
+
+    Same data-parallel shape as the narrow engine; the wide tables
+    (cnts/aux/pospairs/bms/text2/badrow, ~14 GB at GRCh38 scale) fit a
+    single v5e replica by construction (cmax prunes the poslist), so
+    whole-genome multi-chip scaling needs no cross-device gathers —
+    each chip walks its own read shard against its local replica."""
+    from ..ops.anchor_wide_jax import DeviceAnchorWide
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    index = DeviceAnchorWide(
+        cnts=jax.device_put(index.cnts, repl),
+        aux=jax.device_put(index.aux, repl),
+        pospairs=jax.device_put(index.pospairs, repl),
+        bms=jax.device_put(index.bms, repl),
+        text2=jax.device_put(index.text2, repl),
+        badrow=jax.device_put(index.badrow, repl))
+    seqs = jax.device_put(seqs, shard)
+    lens = jax.device_put(lens, shard)
+    return index, seqs, lens
+
+
+def sharded_batch_search_anchor_wide(mesh: Mesh, index, params, seqs,
+                                     lens, cap: int = 256,
+                                     overlap: int = -1,
+                                     axis: str = "reads"
+                                     ) -> PingPongResult:
+    """Wide anchor-verify search over a mesh-sharded read batch — the
+    whole-genome (>= 2^31 two-strand symbols) production engine's
+    multi-chip path. Incomplete lanes re-run on the exact host path
+    after the host-side merge, same contract as single-chip."""
+    from ..ops.anchor_wide_jax import batch_search_anchor_wide
+    index, seqs, lens = shard_anchor_wide_inputs(mesh, index, seqs,
+                                                 lens, axis)
+    return batch_search_anchor_wide(index, params, seqs, lens, cap=cap,
+                                    overlap=overlap)

@@ -90,3 +90,37 @@ def test_anchor_engine_mesh_matches_host():
                 continue
             assert merged[i] == ping_pong_search(index, enc), (n_dev, i)
     assert out[1] == out[2] == out[8]
+
+
+def test_anchor_wide_engine_mesh_matches_host():
+    # the whole-genome wide anchor engine over device meshes == host
+    # oracle, identical at every mesh size
+    from svdss_tpu.index.fmd import genome_text
+    from svdss_tpu.ops.anchor_wide import build_anchor_index_wide
+    from svdss_tpu.ops.anchor_wide_jax import build_device_anchor_wide
+    from svdss_tpu.parallel.mesh import sharded_batch_search_anchor_wide
+
+    from test_anchor_wide import _fwd_text, _mk_genome, _reads
+    rng = np.random.default_rng(31)
+    chroms = {"c1": _mk_genome(rng, 40_000), "c2": _mk_genome(rng, 20_000)}
+    index = build_index(chroms)
+    widx = build_anchor_index_wide(_fwd_text(chroms), k=10, cmax=24)
+    didx, params = build_device_anchor_wide(widx)
+    encs = _reads(rng, chroms, 16, 500)
+    seqs, lens = pack_reads(encs)
+    out = {}
+    n_resolved = 0
+    for n_dev in (1, 2, 8):
+        mesh = make_mesh(n_dev)
+        res = sharded_batch_search_anchor_wide(mesh, didx, params, seqs,
+                                               lens, cap=64)
+        bad = np.asarray(res.incomplete | res.overflow)
+        merged = merge_shard_results(res, len(encs))
+        out[n_dev] = merged
+        for i, enc in enumerate(encs):
+            if bad[i]:
+                continue
+            n_resolved += 1
+            assert merged[i] == ping_pong_search(index, enc), (n_dev, i)
+    assert out[1] == out[2] == out[8]
+    assert n_resolved >= 3 * len(encs) // 2   # most lanes device-resolve
