@@ -72,6 +72,27 @@ def load() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
+def bgzf_write_all(path: str, data, level: int = 1, n_threads: int = 2,
+                   flags: int = 0) -> bool:
+    """Compress `data` (bytes-like) to a BGZF file with the native
+    parallel deflater. flags: bit 0 set = append (else truncate), bit 1
+    set = suppress the BGZF EOF block — 0 writes a whole file in one
+    call. Returns False when the native library is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "svdss_bgzf_write"):
+        return False
+    if not getattr(lib, "_bgzf_write_bound", False):
+        lib.svdss_bgzf_write.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.svdss_bgzf_write.restype = ctypes.c_int
+        lib._bgzf_write_bound = True
+    buf = np.frombuffer(data, dtype=np.uint8)
+    p8 = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return lib.svdss_bgzf_write(path.encode(), p8, len(buf), level,
+                                n_threads, flags) == 0
+
+
 def bgzf_read_all(path: str, n_threads: int = 4):
     """Decompress a whole BGZF file with the native parallel inflater.
 

@@ -120,6 +120,22 @@ def make_haplotype(rng: np.random.Generator, chrom: str, ref: str,
     return Haplotype(chrom, ref, segments, svs)
 
 
+_B2I = np.zeros(256, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _B2I[_b] = _i
+
+
+def _donor_u8(hap: Haplotype) -> np.ndarray:
+    """Donor sequence as a cached uint8 byte array (the str property
+    stays for small-scale callers; per-read slicing at whole-genome
+    read counts must not re-encode strings)."""
+    arr = getattr(hap, "_u8_cache", None)
+    if arr is None:
+        arr = np.frombuffer(hap.seq.encode(), dtype=np.uint8)
+        object.__setattr__(hap, "_u8_cache", arr)
+    return arr
+
+
 def _read_from_haplotype(rng: np.random.Generator, hap: Haplotype,
                          donor_start: int, read_len: int,
                          snv_rate: float, indel_rate: float,
@@ -129,12 +145,14 @@ def _read_from_haplotype(rng: np.random.Generator, hap: Haplotype,
     Walks the haplotype edit script from donor_start: reference spans become
     M ops, SV insertions become I ops, SV deletions D ops. Then injects
     sequencing errors: SNVs inside M stretches and small I/D (errors only
-    modify the read + CIGAR, mimicking a mapper's output).
+    modify the read + CIGAR, mimicking a mapper's output). SNV injection
+    is vectorized (fancy-indexed base rewrites) — the scalar per-base
+    loop capped whole-genome simulation at ~4 MB/s.
 
     Returns (read_seq, ref_pos, cigar) or None if the read would start
     inside an insertion or run off the chromosome.
     """
-    donor = hap.seq
+    donor = _donor_u8(hap)
     if donor_start + read_len > len(donor):
         return None
     cmap = hap.coord_map()
@@ -173,7 +191,7 @@ def _read_from_haplotype(rng: np.random.Generator, hap: Haplotype,
     read = donor[donor_start:donor_start + read_len]
 
     # inject sequencing errors (SNVs + small indels), rebuilding read+cigar
-    out_seq: List[str] = []
+    out_seq: List[np.ndarray] = []
     out_cigar: List[Tuple[int, int]] = []
     qpos = 0
 
@@ -192,13 +210,14 @@ def _read_from_haplotype(rng: np.random.Generator, hap: Haplotype,
                 qpos += op_len
             push(op_len, op)
             continue
-        # SNVs: substitute bases in place (stays an M op)
-        chunk = list(read[qpos:qpos + op_len])
+        # SNVs: substitute bases in place (stays an M op) — vectorized
+        # old-base + 1..3 mod 4 draws uniformly from the three alts
+        chunk = read[qpos:qpos + op_len].copy()
         nsnv = rng.binomial(op_len, snv_rate)
-        for i in rng.integers(0, op_len, nsnv):
-            old = chunk[int(i)]
-            alts = [b for b in "ACGT" if b != old]
-            chunk[int(i)] = alts[int(rng.integers(0, 3))]
+        if nsnv:
+            idx = rng.integers(0, op_len, nsnv)
+            alt = (_B2I[chunk[idx]] + rng.integers(1, 4, nsnv)) % 4
+            chunk[idx] = BASES[alt]
         # small indels: split the M op
         nind = rng.binomial(op_len, indel_rate)
         cuts = sorted(int(c) for c in rng.integers(1, max(op_len, 2), nind))
@@ -207,11 +226,10 @@ def _read_from_haplotype(rng: np.random.Generator, hap: Haplotype,
             if c <= prev or c >= op_len:
                 continue
             push(c - prev, BAM_CMATCH)
-            out_seq.append("".join(chunk[prev:c]))
+            out_seq.append(chunk[prev:c])
             ilen = int(rng.integers(1, max_small_indel + 1))
             if rng.random() < 0.5:
-                ins = BASES[rng.integers(0, 4, ilen)].tobytes().decode()
-                out_seq.append(ins)
+                out_seq.append(BASES[rng.integers(0, 4, ilen)])
                 push(ilen, BAM_CINS)
             else:
                 c2 = min(c + ilen, op_len)
@@ -220,14 +238,14 @@ def _read_from_haplotype(rng: np.random.Generator, hap: Haplotype,
                     c = c2
             prev = c
         push(op_len - prev, BAM_CMATCH)
-        out_seq.append("".join(chunk[prev:op_len]))
+        out_seq.append(chunk[prev:op_len])
         qpos += op_len
 
     # a read ending inside an SV insertion would leave a trailing I op,
     # which a real mapper reports as a soft clip
     if out_cigar and out_cigar[-1][1] == BAM_CINS:
         out_cigar[-1] = (out_cigar[-1][0], BAM_CSOFT_CLIP)
-    seq = "".join(out_seq)
+    seq = np.concatenate(out_seq).tobytes().decode() if out_seq else ""
     return seq, ref_pos, out_cigar
 
 
@@ -260,10 +278,22 @@ def simulate_reads(rng: np.random.Generator, haplotypes: List[Haplotype],
 
 
 def write_bam(path: str, chroms: Dict[str, str],
-              records: List[BamRecord]) -> None:
+              records: List[BamRecord], threads: int = 2) -> None:
     header = BamHeader.from_refs([(n, len(s)) for n, s in chroms.items()])
-    tids = {n: i for i, n in enumerate(header.names)}
+    from ..io.bam import _encode_record
+    from ..io.native import bgzf_write_all
+    from ..pipeline.smooth import _header_bytes
+    import struct as _struct
+    # fast path: encode the whole record stream, one parallel BGZF call
+    # (the pure-Python single-thread level-6 deflate capped whole-genome
+    # simulation); falls back to BamWriter when the .so is unavailable
+    parts = [_header_bytes(header)]
+    for rec in records:
+        data = _encode_record(rec)
+        parts.append(_struct.pack("<i", len(data)) + data)
+    if bgzf_write_all(path, b"".join(parts), level=1,
+                      n_threads=max(1, threads)):
+        return
     with BamWriter(path, header) as w:
         for rec in records:
             w.write(rec)
-    del tids
