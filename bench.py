@@ -119,8 +119,16 @@ def time_anchor(didx, params, index, reads, lens, iters: int,
     unresolved/overflow lanes (the production fallback semantics)."""
     import jax.numpy as jnp
     from svdss_tpu.ops.anchor_jax import batch_search_anchor
+    from svdss_tpu.pipeline.search import host_search_batch
+    # match the production dispatcher's length-scaled emission cap —
+    # a flat 512 overflows ~5% of 30kb lanes (round-3 30kb regression)
+    cap = max(cap, reads.shape[1] // 16)
     seqs_j = jnp.asarray(reads)
     lens_j = jnp.asarray(lens)
+    # the host fallback engine's one-time table build must not be
+    # billed to the first timed iteration (production amortizes it
+    # across the whole run)
+    host_search_batch(index, [reads[0, :64]])
     t0 = time.time()
     res = batch_search_anchor(didx, params, seqs_j, lens_j, cap=cap)
     np.asarray(res.n_sfs)

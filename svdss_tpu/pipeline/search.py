@@ -227,26 +227,30 @@ class _DeviceSearcher:
         while len(padded) < self.lanes:
             padded.append(np.ones(1, dtype=np.uint8))
         seqs, lens = pack_reads(padded, pad_to=L)
+        # emission cap scales with the bucket length: SFS-dense 30 kb
+        # HiFi reads average ~470 SFS, so a flat 512 overflowed ~5% of
+        # lanes into the host path (the round-3 30kb regression)
+        cap = max(self.cap, L // 16)
         if self.anchor is not None and self.wide:
             from ..ops.anchor_wide_jax import batch_search_anchor_wide
             res = batch_search_anchor_wide(self.anchor,
                                            self.anchor_params,
-                                           seqs, lens, cap=self.cap,
+                                           seqs, lens, cap=cap,
                                            overlap=self.config.overlap)
         elif self.anchor is not None:
             from ..ops.anchor_jax import batch_search_anchor
             res = batch_search_anchor(self.anchor, self.anchor_params,
-                                      seqs, lens, cap=self.cap,
+                                      seqs, lens, cap=cap,
                                       overlap=self.config.overlap)
         elif self.jump_k:
             from ..utils.seq import kmer_keys
             keys = kmer_keys(np.asarray(seqs), self.jump_k)
-            res = batch_search(self.dev, seqs, lens, cap=self.cap,
+            res = batch_search(self.dev, seqs, lens, cap=cap,
                                overlap=self.config.overlap,
                                jump_table=self.jump_table, keys=keys,
                                jump_k=self.jump_k)
         else:
-            res = batch_search(self.dev, seqs, lens, cap=self.cap,
+            res = batch_search(self.dev, seqs, lens, cap=cap,
                                overlap=self.config.overlap)
         return (encoded, res)
 
