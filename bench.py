@@ -351,6 +351,52 @@ def main() -> int:
             print(f"[bench] {L}bp: {r_l:.1f} reads/s (warmup {w_l:.1f}s)",
                   file=sys.stderr)
 
+    # standing on-chip parity smoke: a sample of lanes from each device
+    # engine vs the exact host engine, using the already-compiled
+    # kernels (XLA:CPU parity in tests/ does not guarantee Mosaic/TPU
+    # agreement; this pins it on every bench run)
+    smoke_checked = 0
+    smoke_ok = True
+    try:
+        import jax.numpy as jnp
+        from svdss_tpu.pipeline.search import host_search_batch
+        ns = min(48, args.reads)
+        want = host_search_batch(
+            index, [reads[i, :lens[i]] for i in range(ns)])
+
+        def check(res):
+            nonlocal smoke_checked, smoke_ok
+            bad = np.asarray(res.incomplete | res.overflow)[:ns]
+            qs = np.asarray(res.qs)[:ns]
+            ln = np.asarray(res.length)[:ns]
+            nn = np.asarray(res.n_sfs)[:ns]
+            for i in range(ns):
+                if bad[i]:
+                    continue
+                got = list(zip(qs[i, :nn[i]].tolist(),
+                               ln[i, :nn[i]].tolist()))
+                smoke_checked += 1
+                if got != want[i]:
+                    smoke_ok = False
+
+        seqs_j = jnp.asarray(reads)
+        lens_j = jnp.asarray(lens)
+        if didx is not None:
+            from svdss_tpu.ops.anchor_jax import batch_search_anchor
+            check(batch_search_anchor(
+                didx, params, seqs_j, lens_j,
+                cap=max(512, reads.shape[1] // 16)))
+        from svdss_tpu.ops.pingpong_jax import batch_search
+        check(batch_search(dev_index, seqs_j, lens_j, cap=512,
+                           **jump_kw))
+        print(f"[bench] on-chip parity smoke: {smoke_checked} lanes "
+              f"checked, {'ok' if smoke_ok else 'MISMATCH'}",
+              file=sys.stderr)
+    except Exception as e:                          # pragma: no cover
+        smoke_ok = False
+        print(f"[bench] on-chip parity smoke failed to run: {e}",
+              file=sys.stderr)
+
     cpu_model = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -370,6 +416,8 @@ def main() -> int:
         "read_len": args.read_len,
         "reads_per_s_by_len": by_len,
         "host_cpu": cpu_model,
+        "smoke_ok": smoke_ok,
+        "smoke_lanes_checked": smoke_checked,
     }
     if pool_rate is not None:
         out["pool_reads_per_s"] = round(pool_rate, 1)

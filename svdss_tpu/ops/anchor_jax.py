@@ -182,26 +182,30 @@ def words_per_lane(lp1: int) -> int:
 def pack_read_words(seqs: jax.Array, lens: jax.Array, wlp: int
                     ) -> jax.Array:
     """[Q, Lp1] uint8 nt6 + lens -> [Q, 2, wlp] int32 flat words: side 0
-    the read, side 1 its reverse complement (the backward-phase view),
-    both zero-padded. Runs on device (used by the pool's push step)."""
+    the read, side 1 its complemented flip. Runs on device (used by the
+    pool's push step).
+
+    Side 1 is the REVERSE of the zero-padded buffer (flip-after-pad),
+    NOT a per-lane reversal at ``lens``: logical RC position x lives at
+    packed position x + 8*wlp - len. The round body adds that per-lane
+    offset to RC-side accesses instead — a [Q, Lp1] per-element
+    ``take_along_axis`` reversal gather here measured 63% of one-shot
+    batch device time at the bench shape (xplane op profile, round 4)."""
     q, lp1 = seqs.shape
     s = seqs.astype(jnp.int32)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (q, lp1), 1)
-    rci = jnp.clip(lens[:, None] - 1 - pos, 0, lp1 - 1)
-    rev = jnp.take_along_axis(s, rci, axis=1)
+    padw = wlp * 8 - lp1
+    sp = jnp.concatenate([s, jnp.zeros((q, padw), dtype=jnp.int32)],
+                         axis=1)
+    rev = jnp.flip(sp, axis=1)
     # nt6 complement: 0,5 fixed; A<->T, C<->G  (5 - c for 1..4)
     rc = jnp.where((rev >= 1) & (rev <= 4), 5 - rev, rev)
-    rc = jnp.where(pos < lens[:, None], rc, 0)
 
-    def pack(x):
-        padw = wlp * 8 - lp1
-        xp = jnp.concatenate(
-            [x, jnp.zeros((q, padw), dtype=jnp.int32)], axis=1)
+    def pack(xp):
         nib = xp.reshape(q, wlp, 8)
         sh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2) * 4
         return jnp.sum(nib << sh, axis=2, dtype=jnp.int32)
 
-    return jnp.stack([pack(s), pack(rc)], axis=1)
+    return jnp.stack([pack(sp), pack(rc)], axis=1)
 
 
 def derive_chunks(words: jax.Array) -> jax.Array:
@@ -289,8 +293,11 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         is_ver = active & (mode == VER)
 
         # ---- read-row gather (gather 1): KEY lanes read at u, VER
-        # lanes at u + k + ext; both forward on the working side
+        # lanes at u + k + ext; both forward on the working side.
+        # Side 1 stores comp(flip(padded read)) — logical RC position x
+        # sits at packed x + W8 - len (see pack_read_words)
         rstart = jnp.where(is_ver, u + k + s["ext"], u)
+        rstart = rstart + jnp.where(is_b, (nwm + 1) * 128 - lens, 0)
         m_r = jnp.clip(rstart >> 7, 0, nwm - 1)
         merged = chunks.reshape(Q, 2 * nwm, SPAN_W)
         row = dirb * nwm + m_r

@@ -199,15 +199,14 @@ class AnchorPool:
         @functools.partial(jax.jit, donate_argnums=0)
         def push(state, fwd_words, lens_new, ords, at, m_eff):
             m, _ = fwd_words.shape
-            w8 = wlp * 8
             rep = jnp.repeat(fwd_words.astype(jnp.int32), 8, axis=1)
             sh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1) & 7) * 4
             sym = jax.lax.shift_right_logical(rep, sh) & 0xF
-            pos = jax.lax.broadcasted_iota(jnp.int32, (m, w8), 1)
-            rci = jnp.clip(lens_new[:, None] - 1 - pos, 0, w8 - 1)
-            rev = jnp.take_along_axis(sym, rci, axis=1)
+            # side 1 = comp(flip(padded)) — same convention as
+            # pack_read_words; the round body offsets RC accesses by
+            # w8 - len, so no per-element reversal gather is needed
+            rev = jnp.flip(sym, axis=1)
             rc = jnp.where((rev >= 1) & (rev <= 4), 5 - rev, rev)
-            rc = jnp.where(pos < lens_new[:, None], rc, 0)
             nib = rc.reshape(m, wlp, 8)
             psh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2) * 4
             rcw = jnp.sum(nib << psh, axis=2, dtype=jnp.int32)

@@ -215,19 +215,23 @@ def pack_read_words2(seqs: jax.Array, lens: jax.Array, wlp: int
     inread = pos < lens[:, None]
     has_bad = jnp.any(inread & ((s < 1) | (s > 4)), axis=1)
     v = jnp.where(inread, jnp.clip(s - 1, 0, 3), 0)
-    rci = jnp.clip(lens[:, None] - 1 - pos, 0, lp1 - 1)
-    rv = jnp.take_along_axis(v, rci, axis=1)
-    rc = jnp.where(inread, 3 - rv, 0)
+    # side 1 = comp(flip(padded)) — logical RC position x sits at
+    # packed x + 16*wlp - len; the round body adds that offset to
+    # side-1 accesses (a per-element reversal gather here measured 63%
+    # of one-shot batch device time on the narrow engine's profile).
+    # Out-of-read 2-bit padding aliases symbols either way; every
+    # compare is clamped by run_cap/avail, so the alias is never read.
+    padw = wlp * 16 - lp1
+    vp = jnp.concatenate([v, jnp.zeros((q, padw), dtype=jnp.int32)],
+                         axis=1)
+    rc = 3 - jnp.flip(vp, axis=1)
 
-    def pack(x):
-        padw = wlp * 16 - lp1
-        xp = jnp.concatenate(
-            [x, jnp.zeros((q, padw), dtype=jnp.int32)], axis=1)
+    def pack(xp):
         nib = xp.reshape(q, wlp, 16)
         sh = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2) * 2
         return jnp.sum(nib << sh, axis=2, dtype=jnp.int32)
 
-    return jnp.stack([pack(v), pack(rc)], axis=1), has_bad
+    return jnp.stack([pack(vp), pack(rc)], axis=1), has_bad
 
 
 def derive_chunks2(words: jax.Array) -> jax.Array:
@@ -308,6 +312,10 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         use_left = on_b & (is_keyb | is_pos | is_ver)
         rstart = jnp.where(use_left, v_left, r_right)
         side = jnp.where(use_left, 1 - dirb, dirb)
+        # side 1 stores comp(flip(padded read)): logical RC position x
+        # sits at packed x + W16 - len (see pack_read_words2)
+        rstart = rstart + jnp.where(side == 1,
+                                    (nwm + 1) * 256 - lens, 0)
         m_r = jnp.where(use_left,
                         jnp.clip((rstart >> 8) - 1, 0, nwm - 1),
                         jnp.clip(rstart >> 8, 0, nwm - 1))
