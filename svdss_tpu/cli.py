@@ -35,6 +35,10 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-pool", action="store_true",
                    help="anchor engine: one-shot batches instead of the "
                         "persistent-lane pool")
+    p.add_argument("--pool", action="store_true",
+                   help="anchor engine: force the persistent-lane pool "
+                        "(default: auto-selected from a device-link "
+                        "throughput probe)")
 
 
 def _cfg(args: argparse.Namespace) -> Config:
@@ -45,7 +49,8 @@ def _cfg(args: argparse.Namespace) -> Config:
         use_device=not getattr(args, "no_device", False),
         lanes=getattr(args, "lanes", 2048),
         engine=getattr(args, "engine", "auto"),
-        pool=not getattr(args, "no_pool", False),
+        pool=(False if getattr(args, "no_pool", False)
+              else True if getattr(args, "pool", False) else None),
     )
     for field in ("accp", "min_mapq", "min_sv_length", "min_cluster_weight",
                   "clipped", "max_output"):

@@ -356,10 +356,31 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         # their first occurrence pair in the SAME round, so a phase's
         # first verify happens in its KEY round (the dominant phase
         # shape is KEY->single VER; chaining turns 2-3 rounds/phase
-        # into 1)
-        srow2 = index.small[jnp.where(k_multi,
-                                      params.pos_base + (aux_k >> 1), 0)]
+        # into 1). KEY-empty lanes are disjoint from KEY-multi, so the
+        # same gather slot serves their level-(k-1) presence word: an
+        # absent k-mer (~half of all phases on a large random text)
+        # resolves its SUB step in the KEY round instead of paying a
+        # separate round
+        kj1 = jax.lax.shift_right_logical(key, 2)       # first k-1 syms
+        w1 = jax.lax.shift_right_logical(kj1, 5)
+        chain_empty = k_empty if k - 1 > j0 else jnp.zeros_like(k_empty)
+        bmrow1 = bm_bases[k - 1] + (w1 >> 1) if k - 1 > j0 else 0
+        srow2_idx = jnp.where(k_multi, params.pos_base + (aux_k >> 1),
+                              jnp.where(chain_empty, bmrow1, 0))
+        srow2 = index.small[srow2_idx]
         occ0 = jnp.where((aux_k & 1) == 1, srow2[:, 1], srow2[:, 0])
+        bm1_word = jnp.where((w1 & 1) == 1, srow2[:, 1], srow2[:, 0])
+        bit1 = (jax.lax.shift_right_logical(bm1_word, kj1 & 31) & 1) == 1
+        ke_present = chain_empty & bit1                 # m = k - 1
+        # absent at k-1 too: either the floor resolves it now, or the
+        # cascade continues at level k-2 next round
+        if k - 2 <= j0:
+            ke_floor = chain_empty & ~bit1              # m = j0
+            ke_cont = jnp.zeros_like(k_empty)
+        else:
+            ke_floor = jnp.zeros_like(k_empty)
+            ke_cont = chain_empty & ~bit1
+        ke_unchained = k_empty & ~chain_empty           # k-1 <= j0
 
         # ---- POS row resolution (row-cache misses during iteration)
         pos_take = is_pos
@@ -446,12 +467,15 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         sub_floor = sub_down & (subj_next <= j0)
         sub_resolve = sub_present | sub_floor
 
-        # ---- phase m resolution (one of floor / sub / ver)
+        # ---- phase m resolution (one of floor / sub / chained-sub / ver)
         m_res = jnp.where(floor_case & clean, maxlen,
                           jnp.where(sub_present, s["subj"],
                                     jnp.where(sub_floor, jnp.int32(j0),
                                               k + best_new)))
-        resolve = (floor_case & clean) | sub_resolve | ver_resolve
+        m_res = jnp.where(ke_present, jnp.int32(k - 1),
+                          jnp.where(ke_floor, jnp.int32(j0), m_res))
+        resolve = ((floor_case & clean) | sub_resolve | ver_resolve
+                   | ke_present | ke_floor)
 
         # BWD: m == maxlen -> whole prefix occurs -> lane done (oracle
         # break); else switch to FWD at b = anc - m
@@ -495,15 +519,17 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         # dispatch: resolve-transitions first; the remaining wheres are
         # disjoint from resolving lanes
         mode2 = jnp.where(to_fwd | restart, KEY, mode)
-        mode2 = jnp.where(k_empty, SUB, mode2)
+        mode2 = jnp.where(ke_cont | ke_unchained, SUB, mode2)
         mode2 = jnp.where(to_sub_short, SUB, mode2)
         mode2 = jnp.where(cont_occ, VER, mode2)
         mode2 = jnp.where(more_occ & cached, VER, mode2)
         mode2 = jnp.where(more_occ & ~cached, POS, mode2)
 
         key2 = jnp.where(is_key, key, s["key"])
-        subj2 = jnp.where(k_empty, jnp.int32(k - 1),
-                          jnp.where(to_sub_short, maxlen, subj_next))
+        subj2 = jnp.where(ke_cont, jnp.int32(k - 2),
+                          jnp.where(ke_unchained, jnp.int32(k - 1),
+                                    jnp.where(to_sub_short, maxlen,
+                                              subj_next)))
         cnt2 = jnp.where(use_meta, cnt_k, s["cnt"])
         aux2 = jnp.where(use_meta, aux_k, s["aux"])
         occ2 = occ_i2

@@ -193,6 +193,7 @@ class _DeviceSearcher:
             self.dev = DeviceFMDIndex.from_host(index)
         self.lanes = config.lanes
         self.cap = config.max_sfs_per_read
+        self._link_pool: Optional[bool] = None
         self.fallbacks = 0
         self.device_reads = 0
         self.jump_k = 0
@@ -207,6 +208,31 @@ class _DeviceSearcher:
             self.jump_table = build_jump_table(self.dev, self.jump_k)
             logger.info("search: built %d-mer jump table in %.1fs",
                         self.jump_k, _time.time() - t0)
+
+    def link_supports_pool(self) -> bool:
+        """One-time host<->device link probe deciding pool vs one-shot.
+
+        The pool streams reads in (~0.5 B/symbol) and results out
+        (8 B/SFS) every superstep; on a slow link those transfers gate
+        throughput below the one-shot path, whose single bulk transfer
+        hides behind compute via async dispatch (BENCH_r03: pool 1,560
+        vs one-shot 4,024 reads/s on the 17 MB/s dev tunnel). Threshold
+        50 MB/s: well above any tunnel, well below PCIe."""
+        if self._link_pool is None:
+            import time as _time
+            import jax
+            buf = np.zeros(4 << 20, dtype=np.uint8)
+            d = jax.device_put(buf)
+            np.asarray(d[:1])                     # settle / first-copy
+            t0 = _time.time()
+            d = jax.device_put(buf)
+            np.asarray(d[:1])
+            bw = len(buf) / max(_time.time() - t0, 1e-9)
+            self._link_pool = bw >= 50e6
+            logger.info("search: device link ~%.0f MB/s -> %s driver",
+                        bw / 1e6,
+                        "pool" if self._link_pool else "one-shot")
+        return self._link_pool
 
     def dispatch(self, encoded: List[np.ndarray]):
         """Launch a device batch asynchronously; returns an opaque handle.
@@ -353,7 +379,9 @@ def run_search(config: Config, index: FMDIndex,
             if len(batch) >= config.batch_size:
                 flush_host()
         flush_host()
-    elif searcher.anchor is not None and config.pool and not searcher.wide:
+    elif searcher.anchor is not None and not searcher.wide and (
+            config.pool if config.pool is not None
+            else searcher.link_supports_pool()):
         # (the wide engine runs one-shot batches below; its pool driver
         # is a tracked gap — the batch path still overlaps via dispatch)
         # persistent-lane pool: lanes refill from the device-side
