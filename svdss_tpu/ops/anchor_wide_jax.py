@@ -408,7 +408,6 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                             pr3[:, 0])
 
         vcap = maxlen - k
-        cc = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN2), 1)
 
         def compare(occ_u, ext0, gate):
             """One text-row compare of the current read span against
@@ -429,16 +428,45 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                 badw, tr & 31) & 1) == 1)
             shifted = _funnel_shift2(trow, col_t - cmp_off)
             x = shifted ^ chunk
+            # bit 2j of mb set iff 2-bit symbol j mismatches; find the
+            # first mismatch at WORD level in the scan direction (the
+            # [Q, 512] per-symbol expansion this replaces ran twice per
+            # round under pair-verify)
             mb = (x | jax.lax.shift_right_logical(x, 1)) & jnp.int32(
                 0x55555555)
-            rep = jnp.repeat(mb, 16, axis=1)             # [Q, 512]
-            bsh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
-                   & 15) * 2
-            mismn = (jax.lax.shift_right_logical(rep, bsh) & 1) == 1
-            dist = jnp.where(left_cmp[:, None], cmp_off[:, None] - cc,
-                             cc - cmp_off[:, None])
-            mism = mismn & (dist >= 0)
-            first = jnp.min(jnp.where(mism, dist, SPAN2), axis=1)
+            w0 = cmp_off >> 4
+            r0 = cmp_off & 15
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, SPAN2_W), 1)
+            full = jnp.int32(0x55555555)
+            # rightward: symbols >= cmp_off; leftward: symbols <= cmp_off
+            at_w0 = jnp.where(left_cmp,
+                              jax.lax.shift_right_logical(
+                                  full, 2 * (15 - r0)),
+                              jax.lax.shift_left(full, 2 * r0))[:, None]
+            beyond = jnp.where(left_cmp[:, None], w_iota < w0[:, None],
+                               w_iota > w0[:, None])
+            mzm = mb & jnp.where(w_iota == w0[:, None], at_w0,
+                                 jnp.where(beyond, full, 0))
+            nz = mzm != 0
+            # scan-first word: min word index rightward, max leftward
+            firstw = jnp.where(
+                left_cmp,
+                jnp.max(jnp.where(nz, w_iota, -1), axis=1),
+                jnp.min(jnp.where(nz, w_iota, SPAN2_W), axis=1))
+            none_f = jnp.where(left_cmp, firstw < 0, firstw >= SPAN2_W)
+            word = jnp.sum(jnp.where(w_iota == firstw[:, None], mzm, 0),
+                           axis=1, dtype=jnp.int32)
+            # scan-first symbol in the word: lowest set bit rightward,
+            # highest leftward
+            nj = jnp.where(left_cmp, -1, 16)
+            for j in range(16):
+                bit = (jax.lax.shift_right_logical(word, 2 * j) & 1) == 1
+                nj = jnp.where(left_cmp,
+                               jnp.where(bit, j, nj),
+                               jnp.where(bit & (nj == 16), j, nj))
+            pos = firstw * 16 + nj
+            first = jnp.where(left_cmp, cmp_off - pos, pos - cmp_off)
+            first = jnp.where(none_f, jnp.int32(SPAN2), first)
             run_valid = jnp.where(
                 left_cmp, jnp.minimum(cmp_off, col_t) + 1,
                 SPAN2 - jnp.maximum(cmp_off, col_t))
