@@ -26,8 +26,9 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--no-device", action="store_true",
                    help="run the search on the host instead of the TPU")
-    p.add_argument("--lanes", type=int, default=2048,
-                   help="device search batch width (default: 2048)")
+    p.add_argument("--lanes", type=int, default=4096,
+                   help="device search batch width (default: 4096 — the "
+                        "measured per-round sweet spot on v5e)")
     p.add_argument("--engine", choices=("auto", "anchor", "fm"),
                    default="auto",
                    help="device search engine (default: auto = anchor "
@@ -47,7 +48,7 @@ def _cfg(args: argparse.Namespace) -> Config:
         batch_size=getattr(args, "bsize", 10000),
         verbose=getattr(args, "verbose", False),
         use_device=not getattr(args, "no_device", False),
-        lanes=getattr(args, "lanes", 2048),
+        lanes=getattr(args, "lanes", 4096),
         engine=getattr(args, "engine", "auto"),
         pool=(False if getattr(args, "no_pool", False)
               else True if getattr(args, "pool", False) else None),

@@ -65,7 +65,7 @@ class Config:
     clip_del_min_weight: int = 5             # clipper.cpp:209
 
     # device execution
-    lanes: int = 2048                 # lockstep ping-pong batch width
+    lanes: int = 4096                 # lockstep ping-pong batch width
     use_device: bool = True           # False -> pure-host reference path
     engine: str = "auto"              # device search engine: "fm" (rank
                                       # walk), "anchor" (k-mer anchor +

@@ -280,11 +280,27 @@ class _DeviceSearcher:
                                overlap=self.config.overlap)
         return (encoded, res)
 
-    def collect(self, handle) -> List[List[Tuple[int, int]]]:
-        """Materialize a dispatched batch's results (blocks on the device)."""
+    def _redo_pool(self):
+        """Single-worker executor for host fallback re-runs: serializes
+        native-engine use while letting redos overlap device batches
+        (ctypes releases the GIL). On repeat-rich genomes the fallback
+        fraction is large (docs/REPEAT_WIDE_r04.json) — serial redos
+        inside collect() would idle the chip for their whole duration."""
+        if getattr(self, "_redo_exec", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._redo_exec = ThreadPoolExecutor(max_workers=1)
+        return self._redo_exec
+
+    def collect(self, handle, defer_redo: bool = False):
+        """Materialize a dispatched batch's results (blocks on the device).
+
+        defer_redo=False: host fallback re-runs happen inline and the
+        return value is the complete per-read result list. True: returns
+        (results, deferred) where fallback slots are None and deferred
+        is None or (redo_indices, future) to patch in later."""
         encoded, res = handle
         if res is None:
-            return []
+            return ([], None) if defer_redo else []
         n_sfs = np.asarray(res.n_sfs)
         qs = np.asarray(res.qs)
         ln = np.asarray(res.length)
@@ -293,20 +309,26 @@ class _DeviceSearcher:
         redo = []
         for i in range(len(encoded)):
             if bad[i]:
-                # exactness guard: host fallback (rare)
+                # exactness guard: host fallback (rare on non-repeat text)
                 self.fallbacks += 1
                 redo.append(i)
                 out.append(None)
             else:
                 k = int(n_sfs[i])
                 out.append(list(zip(qs[i, :k].tolist(), ln[i, :k].tolist())))
-        if redo:
-            res2 = host_search_batch(self.index, [encoded[i] for i in redo],
-                                     self.config.overlap,
-                                     self.config.threads)
-            for i, r in zip(redo, res2):
-                out[i] = r
         self.device_reads += len(encoded)
+        if not redo:
+            return (out, None) if defer_redo else out
+        encs = [encoded[i] for i in redo]
+        if defer_redo:
+            fut = self._redo_pool().submit(
+                host_search_batch, self.index, encs,
+                self.config.overlap, self.config.threads)
+            return out, (redo, fut)
+        res2 = host_search_batch(self.index, encs, self.config.overlap,
+                                 self.config.threads)
+        for i, r in zip(redo, res2):
+            out[i] = r
         return out
 
     def search_batch(self, encoded: List[np.ndarray]
@@ -464,15 +486,18 @@ def run_search(config: Config, index: FMDIndex,
         flushed: Dict[int, int] = {}
 
         pending: List = []
+        deferred: List = []          # (bucket, base, redo_idx, future)
 
         def drain(keep: int = 0) -> None:
             while len(pending) > keep:
                 bucket, batch, handle = pending.pop(0)
-                res = searcher.collect(handle)
+                res, d = searcher.collect(handle, defer_redo=True)
                 base = flushed.get(bucket, 0)
                 for k, r in enumerate(res):
                     results_store[(bucket, base + k)] = (batch[k][0],
                                                          batch[k][1], r)
+                if d is not None:
+                    deferred.append((bucket, base, d[0], d[1]))
                 flushed[bucket] = base + len(batch)
 
         def flush(bucket: int) -> None:
@@ -498,6 +523,10 @@ def run_search(config: Config, index: FMDIndex,
         for b in list(buckets):
             flush(b)
         drain(keep=0)
+        for bucket, base, redo_idx, fut in deferred:
+            for i, r in zip(redo_idx, fut.result()):
+                qn, hp, _ = results_store[(bucket, base + i)]
+                results_store[(bucket, base + i)] = (qn, hp, r)
         for b, qname, idx in order:
             qn, hp, pairs = results_store[(b, idx)]
             emit([(qn, hp)], [pairs])
