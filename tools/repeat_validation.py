@@ -60,19 +60,23 @@ def build_repeat_genome(rng: np.random.Generator, n: int,
     parts = []
     total = 0
     sat_bp = line_bp = sine_bp = 0
+    # thresholds chosen so BP SHARES (weight x mean segment length) land
+    # at ~3% satellite / ~17% LINE / ~10% SINE / ~70% unique — a
+    # satellite ARRAY averages ~175 kb while a unique stretch is ~2 kb,
+    # so per-SEGMENT probabilities must be far apart
     while total < n:
         r = rng.random()
-        if r < 0.015:                      # satellite array (~3% of bp)
+        if r < 0.00017:                    # satellite array (~3% of bp)
             copies = int(rng.integers(50, 2000))
             arr = [mutate(rng, sat_mono, rng.uniform(0.02, 0.08))
                    for _ in range(copies)]
             seg = np.concatenate(arr)
             sat_bp += len(seg)
-        elif r < 0.20:                     # LINE-like (~17%)
+        elif r < 0.184:                    # LINE-like (~17%)
             ln = min(6000, max(80, int(rng.exponential(900))))
             seg = mutate(rng, line_cons[-ln:], rng.uniform(0.08, 0.20))
             line_bp += len(seg)
-        elif r < 0.53:                     # SINE-like (~10%)
+        elif r < 0.697:                    # SINE-like (~10%)
             seg = mutate(rng, sine_cons[:int(rng.integers(80, 301))],
                          rng.uniform(0.05, 0.15))
             sine_bp += len(seg)
