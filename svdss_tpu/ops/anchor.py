@@ -86,6 +86,8 @@ class AnchorIndex:
     poslist: np.ndarray           # [n_multi] int32 window starts
     levels: dict                  # j -> packed presence bitmap uint32[...]
     cmax: int = DEFAULT_CMAX
+    heavy_rate: float = -1.0      # position-weighted P(phase over cmax);
+                                  # -1 = unknown (pre-round-4 artifact)
 
     @property
     def n(self) -> int:
@@ -102,6 +104,7 @@ class AnchorIndex:
         mmap-speed, and the tables don't compress usefully anyway)."""
         np.savez(path, text=self.text, meta=self.meta,
                  poslist=self.poslist, cmax=np.int32(self.cmax),
+                 heavy_rate=np.float64(self.heavy_rate),
                  k=np.int32(self.k), j0=np.int32(self.j0),
                  level_js=np.asarray(sorted(self.levels), dtype=np.int32),
                  **{f"level_{j}": bm for j, bm in self.levels.items()})
@@ -112,7 +115,9 @@ class AnchorIndex:
         levels = {int(j): z[f"level_{int(j)}"] for j in z["level_js"]}
         return cls(text=z["text"], k=int(z["k"]), j0=int(z["j0"]),
                    meta=z["meta"], poslist=z["poslist"], levels=levels,
-                   cmax=int(z["cmax"]))
+                   cmax=int(z["cmax"]),
+                   heavy_rate=float(z["heavy_rate"])
+                   if "heavy_rate" in z.files else -1.0)
 
 
 def build_anchor_index(text: np.ndarray, k: Optional[int] = None,
@@ -193,8 +198,13 @@ def build_anchor_index(text: np.ndarray, k: Optional[int] = None,
         np.bitwise_or.at(bm, idx >> 5, np.uint32(1) << (idx & 31))
         levels[j] = bm
         j0 = j - 1
+    # position-weighted phase-heavy rate: P(a uniformly placed anchor
+    # phase lands on an over-cmax k-mer) — the per-read fallback driver
+    # on repeat-rich genomes; counts here are two-strand already
+    heavy_rate = float(counts[counts > cmax].astype(np.int64).sum()
+                       / max(1, counts.astype(np.int64).sum()))
     return AnchorIndex(text=text, k=k, j0=j0, meta=meta, poslist=poslist,
-                       levels=levels, cmax=cmax)
+                       levels=levels, cmax=cmax, heavy_rate=heavy_rate)
 
 
 # ------------------------------------------------------------- host search

@@ -86,6 +86,8 @@ class AnchorIndexWide:
     poslist: np.ndarray           # [np] uint32 starts (pruned, grouped)
     levels: dict                  # j -> packed two-strand presence bitmap
     cmax: int = WIDE_CMAX
+    heavy_rate: float = -1.0      # position-weighted P(phase over cmax);
+                                  # -1 = unknown (pre-round-4 artifact)
 
     @property
     def n(self) -> int:
@@ -118,6 +120,7 @@ class AnchorIndexWide:
     def save(self, path: str) -> None:
         np.savez(path, text=self.text, cnts=self.cnts, aux=self.aux,
                  poslist=self.poslist, cmax=np.int32(self.cmax),
+                 heavy_rate=np.float64(self.heavy_rate),
                  k=np.int32(self.k), j0=np.int32(self.j0),
                  level_js=np.asarray(sorted(self.levels), dtype=np.int32),
                  **{f"level_{j}": bm for j, bm in self.levels.items()})
@@ -131,7 +134,9 @@ class AnchorIndexWide:
                    j0=int(z["j0"]), cnts=np.asarray(z["cnts"]),
                    aux=np.asarray(z["aux"]),
                    poslist=np.asarray(z["poslist"]), levels=levels,
-                   cmax=int(z["cmax"]))
+                   cmax=int(z["cmax"]),
+                   heavy_rate=float(z["heavy_rate"])
+                   if "heavy_rate" in z.files else -1.0)
 
 
 def _keys_and_clean(text: np.ndarray, k: int,
@@ -267,8 +272,15 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
     rck = rc_keys(np.arange(nk, dtype=np.int64), k)
     total = cnts_full + cnts_full[rck]
     keep = (total <= cmax) & (cnts_full >= 2)
+    # position-weighted phase-heavy rate: the probability a uniformly
+    # placed anchor phase lands on an over-cmax k-mer (= the device
+    # fallback driver on repeat-rich genomes; stored so engine
+    # auto-selection can see the genome's repeat profile)
+    heavy_rate = float(cnts_full[total > cmax].sum()
+                       / max(1, cnts_full.sum()))
     say(f"heavy (two-strand > {cmax}): {int((total > cmax).sum())} "
-        f"k-mers, {int(cnts_full[total > cmax].sum())} positions pruned")
+        f"k-mers, {int(cnts_full[total > cmax].sum())} positions pruned "
+        f"(phase-heavy rate {heavy_rate:.2%})")
 
     # aux: inline position for singletons, poslist offset for kept
     # multis, sentinel for pruned/heavy
@@ -321,7 +333,8 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
 
     cnts = np.minimum(cnts_full, 255).astype(np.uint8)
     return AnchorIndexWide(text=text, k=k, j0=j0, cnts=cnts, aux=aux,
-                           poslist=poslist, levels=levels, cmax=cmax)
+                           poslist=poslist, levels=levels, cmax=cmax,
+                           heavy_rate=heavy_rate)
 
 
 # ------------------------------------------------------------- host search

@@ -169,6 +169,24 @@ class _DeviceSearcher:
         use_anchor = anchor is not None and (
             config.engine == "anchor"
             or (config.engine == "auto" and index.n >= (1 << 26)))
+        # repeat profile gate: on repeat-rich genomes a large fraction
+        # of anchor phases is over-cmax (heavy), and since ANY heavy
+        # phase sends its whole read to the exact host path, device
+        # residency collapses (docs/REPEAT_WIDE_r04.json: 21% of phases
+        # heavy at human-like repeat densities). The build stores the
+        # position-weighted heavy rate; engine=auto declines the anchor
+        # engine past 5% and logs the reasoning (--engine anchor
+        # forces it; the per-phase host-resolve queue is the tracked
+        # fix, docs/ARCHITECTURE.md)
+        hr = getattr(anchor, "heavy_rate", -1.0) if anchor is not None \
+            else -1.0
+        if use_anchor and config.engine == "auto" and hr > 0.05:
+            logger.warning(
+                "search: anchor tables report %.1f%% phase-heavy rate "
+                "(repeat-rich genome) — most reads would fall back; "
+                "using the FM device engine instead (--engine anchor "
+                "to override)", 100 * hr)
+            use_anchor = False
         self.wide = False
         if use_anchor:
             from ..ops.anchor_wide import AnchorIndexWide

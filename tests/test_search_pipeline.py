@@ -126,3 +126,35 @@ def test_search_wide_anchor_engine_matches_host(pipeline_data):
                           index, bam=smoothed, anchor=widx)
     assert [(q, [(s.qs, s.l, s.htag) for s in g])
             for q, g in a_groups] == host_norm
+
+
+def test_engine_auto_declines_anchor_on_repeat_heavy_genome(tmp_path):
+    """engine=auto must not pick the anchor engine when the build-time
+    repeat profile says most phases are over-cmax (heavy): any heavy
+    phase sends its whole read to the host, so device residency
+    collapses on repeat-rich genomes."""
+    import numpy as np
+    from svdss_tpu.config import Config
+    from svdss_tpu.index.fmd import build_index, genome_text
+    from svdss_tpu.ops.anchor import AnchorIndex, build_anchor_index
+    from svdss_tpu.pipeline.search import _DeviceSearcher
+
+    rng = np.random.default_rng(3)
+    mono = "".join("ACGT"[i] for i in rng.integers(0, 4, 171))
+    sat = (mono * 400)[:60_000]                 # heavy satellite block
+    uniq = "".join("ACGT"[i] for i in rng.integers(0, 4, 60_000))
+    genome = {"g": sat + uniq}
+    index = build_index(genome)
+    aidx = build_anchor_index(genome_text(genome), k=8, cmax=16)
+    assert aidx.heavy_rate > 0.2               # satellite half is heavy
+    p = tmp_path / "a.npz"
+    aidx.save(str(p))
+    re = AnchorIndex.load(str(p))
+    assert abs(re.heavy_rate - aidx.heavy_rate) < 1e-12
+
+    cfg = Config(engine="auto", use_device=True)
+    s = _DeviceSearcher(index, cfg, anchor=aidx)
+    assert s.anchor is None and s.dev is not None   # declined -> FM
+    cfg2 = Config(engine="anchor", use_device=True)
+    s2 = _DeviceSearcher(index, cfg2, anchor=aidx)
+    assert s2.anchor is not None                    # forced override
