@@ -140,3 +140,31 @@ def test_exact_reference_reads_no_sfs():
         r = enc[s:s + 500].copy()
         assert ping_pong_search(fmd, r) == []
         assert anchor_search(anchor, r) == []
+
+
+def test_native_narrow_build_parity():
+    """_build_narrow_native (widebuild.cpp passes) must produce tables
+    bit-identical to the numpy path: meta, grouped poslist order,
+    levels, j0, heavy_rate."""
+    import numpy as np
+    import svdss_tpu.ops.anchor as A
+    import svdss_tpu.ops.anchor_wide as W
+    if W._native_wide() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(77)
+    text = rng.integers(1, 5, 300_000).astype(np.uint8)
+    text[rng.integers(0, len(text), 200)] = 5
+    na = A.build_anchor_index(text, k=8, cmax=12)
+    real = W._native_wide
+    W._native_wide = lambda: None
+    try:
+        py = A.build_anchor_index(text, k=8, cmax=12)
+    finally:
+        W._native_wide = real
+    assert np.array_equal(na.meta, py.meta)
+    assert np.array_equal(na.poslist, py.poslist)
+    assert na.j0 == py.j0 and sorted(na.levels) == sorted(py.levels)
+    for j in na.levels:
+        assert np.array_equal(na.levels[j], py.levels[j])
+    assert abs(na.heavy_rate - py.heavy_rate) < 1e-12
