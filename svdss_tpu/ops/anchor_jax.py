@@ -84,7 +84,7 @@ KEY, SUB, POS, VER = 0, 1, 2, 3
 
 
 class DeviceAnchorIndex(NamedTuple):
-    small: jax.Array        # [X, 2] int32 (meta ++ poslist ++ bitmaps)
+    small: jax.Array        # [X, 4] int32 (meta4 ++ pos quads ++ bitmaps)
     text_words: jax.Array   # [nrow, 32] int32 nibble-packed span rows
 
 
@@ -116,23 +116,56 @@ def pack_text_words(text: np.ndarray) -> np.ndarray:
 
 def build_device_anchor(aidx: AnchorIndex
                         ) -> Tuple[DeviceAnchorIndex, AnchorParams]:
+    """Quad-row fused table: every row is 4 int32, so one [Q, 4] gather
+    per round serves every lane mode, and the meta row carries enough
+    chained state that the old second (chained) gather is gone:
+
+      meta rows [0, 4^k):  (cnt, aux, x0, x1) —
+          cnt == 0: x0 = presence bit of the (k-1)-prefix (1 when
+                    k-1 <= j0), so an absent k-mer resolves its SUB
+                    step with no extra gather at all
+          cnt == 1: aux = the single occurrence position
+          cnt >= 2: aux = poslist offset; x0/x1 = occ0/occ1 inline
+                    (the second occurrence verifies with no POS round)
+      pos rows  [pos_base, ..): four positions per row
+      bm rows   [bm_bases_j, ..): four uint32 bitmap words per row
+    """
     k, j0 = aidx.k, aidx.j0
-    parts = [aidx.meta.astype(np.int32)]
-    pos_base = len(aidx.meta)
+    nk = 4 ** k
+    counts = aidx.meta[:, 0].astype(np.int64)
+    auxm = aidx.meta[:, 1]
+    meta4 = np.zeros((nk, 4), dtype=np.int32)
+    meta4[:, 0] = aidx.meta[:, 0]
+    meta4[:, 1] = auxm
+    multi = counts >= 2
+    off = auxm[multi].astype(np.int64)
+    meta4[multi, 2] = aidx.poslist[off]
+    meta4[multi, 3] = aidx.poslist[off + 1]
+    empty = counts == 0
+    if k - 1 > j0:
+        bm = aidx.levels[k - 1]
+        pref = np.nonzero(empty)[0] >> 2          # first k-1 symbols
+        meta4[empty, 2] = (bm[pref >> 5] >> (pref & 31)) & 1
+    else:
+        meta4[empty, 2] = 1                       # all (k-1)-mers occur
+    parts = [meta4]
+    pos_base = nk
     pl = aidx.poslist
-    if len(pl) % 2:
-        pl = np.concatenate([pl, np.zeros(1, dtype=pl.dtype)])
-    parts.append(pl.reshape(-1, 2).astype(np.int32))
+    if len(pl) % 4:
+        pl = np.concatenate([pl, np.zeros((-len(pl)) % 4,
+                                          dtype=pl.dtype)])
+    parts.append(pl.reshape(-1, 4).astype(np.int32))
     row = pos_base + len(parts[-1])
     bm_bases = []
     for j in range(j0 + 1, k):
         bm = aidx.levels[j]
-        if len(bm) % 2:
-            bm = np.concatenate([bm, np.zeros(1, dtype=bm.dtype)])
-        parts.append(bm.reshape(-1, 2).view(np.int32))
+        if len(bm) % 4:
+            bm = np.concatenate([bm, np.zeros((-len(bm)) % 4,
+                                              dtype=bm.dtype)])
+        parts.append(bm.reshape(-1, 4).view(np.int32))
         bm_bases.append(row)
         row += len(parts[-1])
-    small = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    small = np.concatenate(parts)
     dev = DeviceAnchorIndex(small=jnp.asarray(small),
                             text_words=jnp.asarray(pack_text_words(
                                 aidx.text)))
@@ -237,6 +270,9 @@ def _lane_reset(Q: int, lens: jax.Array) -> dict:
         prow=jnp.full(Q, -1, dtype=jnp.int32),
         p0=jnp.zeros(Q, dtype=jnp.int32),
         p1=jnp.zeros(Q, dtype=jnp.int32),
+        p2=jnp.zeros(Q, dtype=jnp.int32),
+        p3=jnp.zeros(Q, dtype=jnp.int32),
+        occ1c=jnp.zeros(Q, dtype=jnp.int32),
         occ_pos=jnp.zeros(Q, dtype=jnp.int32),
         ext=jnp.zeros(Q, dtype=jnp.int32),
         best=jnp.zeros(Q, dtype=jnp.int32),
@@ -331,18 +367,27 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         use_meta = is_key & clean & (maxlen >= k)
         to_sub_short = is_key & clean & (maxlen > j0) & (maxlen < k)
 
-        # ---- small-table gather (gather 2): per-mode row index
-        # SUB level key = first j symbols = high digits of the k-key
+        # ---- small-table gather (gather 2, QUAD rows): one [Q, 4]
+        # gather serves every lane mode — meta for KEY (with occ0/occ1
+        # and the (k-1)-prefix presence bit inline, see
+        # build_device_anchor), four-position rows for POS, four bitmap
+        # words for SUB. The old chained second gather is gone.
         key_j = jax.lax.shift_right_logical(
             s["key"], 2 * (k - jnp.clip(s["subj"], 1, k)))
         w_idx = jax.lax.shift_right_logical(key_j, 5)
-        bm_row = bm_bases[jnp.clip(s["subj"], 0, k - 1)] + (w_idx >> 1)
-        pos_row = params.pos_base + ((s["aux"] + s["occ_i"]) >> 1)
+        bm_row = bm_bases[jnp.clip(s["subj"], 0, k - 1)] + (w_idx >> 2)
+        pos_row = params.pos_base + ((s["aux"] + s["occ_i"]) >> 2)
         srow_idx = jnp.where(use_meta, key,
                              jnp.where(is_sub, bm_row,
                                        jnp.where(is_pos, pos_row, 0)))
         srow = index.small[jnp.clip(srow_idx, 0, index.small.shape[0] - 1)]
-        s0, s1 = srow[:, 0], srow[:, 1]
+        s0, s1, s2, s3 = (srow[:, 0], srow[:, 1], srow[:, 2], srow[:, 3])
+
+        def quad_sel(sel):
+            """srow slot picked by the low 2 bits of sel."""
+            lo = jnp.where((sel & 1) == 1, s1, s0)
+            hi = jnp.where((sel & 1) == 1, s3, s2)
+            return jnp.where((sel & 2) == 2, hi, lo)
 
         # ---- KEY dispatch from the meta row
         cnt_k, aux_k = s0, s1
@@ -351,40 +396,19 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         k_multi = use_meta & (cnt_k >= 2) & (cnt_k <= cmax)
         k_heavy = use_meta & (cnt_k > cmax)
         fb_new = fb_new | k_heavy
-
-        # ---- chained poslist gather (gather 3): KEY-multi lanes pull
-        # their first occurrence pair in the SAME round, so a phase's
-        # first verify happens in its KEY round (the dominant phase
-        # shape is KEY->single VER; chaining turns 2-3 rounds/phase
-        # into 1). KEY-empty lanes are disjoint from KEY-multi, so the
-        # same gather slot serves their level-(k-1) presence word: an
-        # absent k-mer (~half of all phases on a large random text)
-        # resolves its SUB step in the KEY round instead of paying a
-        # separate round
-        kj1 = jax.lax.shift_right_logical(key, 2)       # first k-1 syms
-        w1 = jax.lax.shift_right_logical(kj1, 5)
-        chain_empty = k_empty if k - 1 > j0 else jnp.zeros_like(k_empty)
-        bmrow1 = bm_bases[k - 1] + (w1 >> 1) if k - 1 > j0 else 0
-        srow2_idx = jnp.where(k_multi, params.pos_base + (aux_k >> 1),
-                              jnp.where(chain_empty, bmrow1, 0))
-        srow2 = index.small[srow2_idx]
-        occ0 = jnp.where((aux_k & 1) == 1, srow2[:, 1], srow2[:, 0])
-        bm1_word = jnp.where((w1 & 1) == 1, srow2[:, 1], srow2[:, 0])
-        bit1 = (jax.lax.shift_right_logical(bm1_word, kj1 & 31) & 1) == 1
-        ke_present = chain_empty & bit1                 # m = k - 1
-        # absent at k-1 too: either the floor resolves it now, or the
-        # cascade continues at level k-2 next round
+        occ0 = s2                                       # inline (multi)
+        # absent k-mer: the (k-1)-prefix presence bit rides the meta row
+        ke_present = k_empty & (s2 == 1)                # m = k - 1
         if k - 2 <= j0:
-            ke_floor = chain_empty & ~bit1              # m = j0
+            ke_floor = k_empty & (s2 == 0)              # m = j0
             ke_cont = jnp.zeros_like(k_empty)
         else:
             ke_floor = jnp.zeros_like(k_empty)
-            ke_cont = chain_empty & ~bit1
-        ke_unchained = k_empty & ~chain_empty           # k-1 <= j0
+            ke_cont = k_empty & (s2 == 0)
 
         # ---- POS row resolution (row-cache misses during iteration)
         pos_take = is_pos
-        occ_from_row = jnp.where((s["aux"] + s["occ_i"]) & 1, s1, s0)
+        occ_from_row = quad_sel(s["aux"] + s["occ_i"])
 
         # lanes comparing text this round, and against which occurrence
         chained = k_single | k_multi | pos_take
@@ -398,14 +422,17 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         cnt_eff = jnp.where(use_meta, cnt_k, s["cnt"])
         best_eff = jnp.where(is_key, 0, s["best"])
         aux_eff = jnp.where(use_meta, aux_k, s["aux"])
-        prow_eff = jnp.where(k_multi, aux_k >> 1,
+        # quad-row cache: POS rounds remember their four positions;
+        # KEY-multi lanes carry occ1 inline instead (occ1c)
+        prow_eff = jnp.where(k_multi, jnp.int32(-1),
                              jnp.where(pos_take,
-                                       (s["aux"] + s["occ_i"]) >> 1,
+                                       (s["aux"] + s["occ_i"]) >> 2,
                                        s["prow"]))
-        p0_eff = jnp.where(k_multi, srow2[:, 0],
-                           jnp.where(pos_take, s0, s["p0"]))
-        p1_eff = jnp.where(k_multi, srow2[:, 1],
-                           jnp.where(pos_take, s1, s["p1"]))
+        p0_eff = jnp.where(pos_take, s0, s["p0"])
+        p1_eff = jnp.where(pos_take, s1, s["p1"])
+        p2_eff = jnp.where(pos_take, s2, s["p2"])
+        p3_eff = jnp.where(pos_take, s3, s["p3"])
+        occ1c_eff = jnp.where(k_multi, s3, s["occ1c"])
         # chained lanes gathered their read row at u, so their compare
         # origin sits k symbols into the span
         cmp_off = jnp.where(is_ver, col_a, col_a + k)
@@ -465,15 +492,21 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         more_occ = occ_done & (occ_i_eff + 1 < cnt_eff) & ~early
         ver_resolve = occ_done & ~more_occ
 
-        # next occurrence: reuse the cached poslist row when possible
+        # next occurrence: occ 1 is inline in the meta row (occ1c);
+        # beyond that, reuse the cached poslist quad when possible
         occ_i2 = jnp.where(more_occ, occ_i_eff + 1, occ_i_eff)
-        nrow_idx = (aux_eff + occ_i2) >> 1
-        cached = more_occ & (nrow_idx == prow_eff)
-        occ_from_cache = jnp.where((aux_eff + occ_i2) & 1, p1_eff,
-                                   p0_eff)
+        nrow_idx = (aux_eff + occ_i2) >> 2
+        from_inline = more_occ & (occ_i2 == 1)
+        cached = more_occ & (from_inline | (nrow_idx == prow_eff))
+        sel2 = aux_eff + occ_i2
+        occ_quad = jnp.where(
+            (sel2 & 2) == 2,
+            jnp.where((sel2 & 1) == 1, p3_eff, p2_eff),
+            jnp.where((sel2 & 1) == 1, p1_eff, p0_eff))
+        occ_from_cache = jnp.where(from_inline, occ1c_eff, occ_quad)
 
         # ---- SUB resolution
-        bm_word = jnp.where((w_idx & 1) == 1, s1, s0)
+        bm_word = quad_sel(w_idx)
         bit_set = (jax.lax.shift_right_logical(bm_word, key_j & 31)
                    & 1) == 1
         sub_present = is_sub & bit_set
@@ -534,7 +567,7 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         # dispatch: resolve-transitions first; the remaining wheres are
         # disjoint from resolving lanes
         mode2 = jnp.where(to_fwd | restart, KEY, mode)
-        mode2 = jnp.where(ke_cont | ke_unchained, SUB, mode2)
+        mode2 = jnp.where(ke_cont, SUB, mode2)
         mode2 = jnp.where(to_sub_short, SUB, mode2)
         mode2 = jnp.where(cont_occ, VER, mode2)
         mode2 = jnp.where(more_occ & cached, VER, mode2)
@@ -542,17 +575,13 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
 
         key2 = jnp.where(is_key, key, s["key"])
         subj2 = jnp.where(ke_cont, jnp.int32(k - 2),
-                          jnp.where(ke_unchained, jnp.int32(k - 1),
-                                    jnp.where(to_sub_short, maxlen,
-                                              subj_next)))
+                          jnp.where(to_sub_short, maxlen, subj_next))
         cnt2 = jnp.where(use_meta, cnt_k, s["cnt"])
         aux2 = jnp.where(use_meta, aux_k, s["aux"])
         occ2 = occ_i2
         occ_pos2 = jnp.where(more_occ & cached, occ_from_cache,
                              jnp.where(cont_occ, occ_eff, s["occ_pos"]))
         prow2 = jnp.where(more_occ & ~cached, -1, prow_eff)
-        p02 = p0_eff
-        p12 = p1_eff
         ext2 = jnp.where(cont_occ, ext_new,
                          jnp.where(ver_like | is_key, 0, s["ext"]))
         best2 = jnp.where(ver_like, best_new,
@@ -561,8 +590,9 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         out = dict(s)
         out.update(rounds=s["rounds"] + 1, active=active2, fb=fb2,
                    dirb=dir2, mode=mode2, anc=anc2, key=key2, subj=subj2,
-                   cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2, p0=p02,
-                   p1=p12, occ_pos=occ_pos2, ext=ext2, best=best2,
+                   cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2, p0=p0_eff,
+                   p1=p1_eff, p2=p2_eff, p3=p3_eff, occ1c=occ1c_eff,
+                   occ_pos=occ_pos2, ext=ext2, best=best2,
                    nstage=nstage, stage_qs=stage_qs, stage_l=stage_l,
                    age=age2, done_r=done_r2)
         return out
