@@ -63,6 +63,12 @@ STAGE_EVERY = 8
 # lane modes
 KEY, SUB, POS, VER, KEYB = 0, 1, 2, 3, 4
 
+# mismatch-scan lowering bisect knob: the word-level scan replaced a
+# [Q, 512] per-symbol expansion; set SVDSS_WIDE_EXPAND=1 to compile the
+# expansion variant instead (identical results)
+import os as _os
+_EXPAND_SCAN = bool(_os.environ.get("SVDSS_WIDE_EXPAND"))
+
 
 class DeviceAnchorWide(NamedTuple):
     cnts: jax.Array       # [4^k] uint8 forward counts (saturated)
@@ -434,6 +440,33 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
             # round under pair-verify)
             mb = (x | jax.lax.shift_right_logical(x, 1)) & jnp.int32(
                 0x55555555)
+            if _EXPAND_SCAN:
+                # per-symbol expansion variant (kept env-selectable for
+                # on-chip bisection of the two lowerings)
+                cc = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN2), 1)
+                rep = jnp.repeat(mb, 16, axis=1)
+                bsh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)
+                       & 15) * 2
+                mismn = (jax.lax.shift_right_logical(rep, bsh) & 1) == 1
+                dist = jnp.where(left_cmp[:, None],
+                                 cmp_off[:, None] - cc,
+                                 cc - cmp_off[:, None])
+                mism = mismn & (dist >= 0)
+                first = jnp.min(jnp.where(mism, dist, SPAN2), axis=1)
+                avail32 = jnp.minimum(avail_l, jnp.uint32(1 << 20)
+                                      ).astype(jnp.int32)
+                first = jnp.where(left_cmp,
+                                  jnp.minimum(first, avail32), first)
+                run_valid = jnp.where(
+                    left_cmp, jnp.minimum(cmp_off, col_t) + 1,
+                    SPAN2 - jnp.maximum(cmp_off, col_t))
+                run_cap = vcap - ext0
+                run = jnp.minimum(jnp.minimum(first, run_valid), run_cap)
+                ext_after = ext0 + jnp.maximum(run, 0)
+                hit_start = left_cmp & (first >= avail32)
+                survive = (gate & (first >= run_valid)
+                           & (ext_after < vcap) & ~hit_start)
+                return ext_after, survive, row_bad
             w0 = cmp_off >> 4
             r0 = cmp_off & 15
             w_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, SPAN2_W), 1)
