@@ -19,7 +19,58 @@
 // (ropebwt3 build path, SURVEY.md section 2b); loaded via ctypes from
 // svdss_tpu/io/native.py.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// comparator symbol: (c-1)&3 — ACGT -> 0..3, deterministic junk for
+// non-ACGT (matches the numpy _bucket_order mapping; device probes
+// touching non-ACGT spans fall back, so only determinism matters there)
+inline int wsym(const uint8_t *text, int64_t p) {
+    return (int)((uint8_t)(text[p] - 1) & 3);
+}
+
+// lexicographic on the suffix starting at a+k / b+k; past-end compares
+// smaller (suffix-array sentinel convention). Distinct positions never
+// compare equal (their runs-to-boundary differ in length or content).
+struct LessRight {
+    const uint8_t *text;
+    int64_t n;
+    int k;
+    bool operator()(uint32_t a, uint32_t b) const {
+        int64_t pa = (int64_t)a + k, pb = (int64_t)b + k;
+        for (;;) {
+            if (pa >= n) return true;
+            if (pb >= n) return false;
+            const int sa = wsym(text, pa), sb = wsym(text, pb);
+            if (sa != sb) return sa < sb;
+            ++pa; ++pb;
+        }
+    }
+};
+
+// lexicographic on the reversed prefix before a / b (symbols at p-1,
+// p-2, ...); before-start compares smaller.
+struct LessLeft {
+    const uint8_t *text;
+    const uint32_t *pos;
+    bool operator()(uint8_t ia, uint8_t ib) const {
+        int64_t pa = (int64_t)pos[ia] - 1, pb = (int64_t)pos[ib] - 1;
+        for (;;) {
+            if (pa < 0) return true;
+            if (pb < 0) return false;
+            const int sa = wsym(text, pa), sb = wsym(text, pb);
+            if (sa != sb) return sa < sb;
+            --pa; --pb;
+        }
+    }
+};
+
+}  // namespace
 
 extern "C" {
 
@@ -73,6 +124,46 @@ int64_t svdss_wide_scatter(const int32_t *keys, const uint8_t *cleanc,
         }
     }
     return written;
+}
+
+// Suffix-order the kept buckets: sort each kept key's poslist slice by
+// the text FOLLOWING the occurrence (right order, in place) and write
+// leftidx[off+m] = bucket-local index of the m-th entry ordered by the
+// text BEFORE the occurrence. The binary-probe device engine's table
+// format (ops/anchor_wide_jax.py); keys are walked in blocks by a
+// thread pool (buckets are independent).
+void svdss_wide_sort(const uint8_t *text, int64_t n, int k,
+                     const uint32_t *aux, const uint8_t *cnts,
+                     const uint8_t *keep, uint32_t *poslist,
+                     uint8_t *leftidx, int threads) {
+    const int64_t nk = (int64_t)1 << (2 * k);
+    const int64_t block = 1 << 14;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        std::vector<uint8_t> idx;
+        for (;;) {
+            const int64_t lo = next.fetch_add(block);
+            if (lo >= nk) return;
+            const int64_t hi = lo + block < nk ? lo + block : nk;
+            for (int64_t key = lo; key < hi; ++key) {
+                if (!keep[key]) continue;
+                const int c = cnts[key];
+                if (c < 2) continue;
+                uint32_t *bucket = poslist + aux[key];
+                std::sort(bucket, bucket + c, LessRight{text, n, k});
+                idx.resize(c);
+                for (int i = 0; i < c; ++i) idx[i] = (uint8_t)i;
+                std::sort(idx.begin(), idx.end(), LessLeft{text, bucket});
+                uint8_t *lout = leftidx + aux[key];
+                for (int i = 0; i < c; ++i) lout[i] = idx[i];
+            }
+        }
+    };
+    const int nt = threads < 1 ? 1 : threads;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto &t : pool) t.join();
 }
 
 }  // extern "C"

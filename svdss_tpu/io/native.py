@@ -68,6 +68,12 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             lib.svdss_wide_scatter.restype = ctypes.c_int64
+        if hasattr(lib, "svdss_wide_sort"):    # sorted-bucket pass
+            lib.svdss_wide_sort.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.svdss_wide_sort.restype = None
         _LIB = lib
     return _LIB
 

@@ -26,11 +26,24 @@ ideas:
    anchors are a steady fraction of phases and falling back per READ
    would send everything to the host. Instead: k-mers whose two-strand
    count exceeds cmax are dropped from the poslist entirely (the
-   poslist shrinks by the heavy tail, the dominant HBM term), and a
-   phase that lands on one is resolved EXACTLY by the host FM engine
-   (a single matching-statistics walk) while the lane parks — see
-   ops/anchor_wide_jax.py / the pool's resolve queue. Output remains
+   poslist shrinks by the heavy tail, the dominant HBM term) but their
+   occurrence lists are KEPT host-side (``heavy_*`` arrays, never
+   uploaded); a phase that lands on one is resolved EXACTLY on the
+   host (``make_heavy_resolver`` — a vectorized max-extension over the
+   heavy list, no FM index needed) while the device lane parks — see
+   ops/anchor_wide_jax.py's parked-phase waves. Output remains
    bit-identical to the ping-pong oracle.
+
+3. **Suffix-ordered buckets.** Each kept k-mer bucket is sorted by the
+   text FOLLOWING the occurrence (right order: the suffix starting at
+   p+k), and a per-entry inverse permutation (``leftidx``, 1 byte)
+   gives the bucket in reversed-prefix order (the text BEFORE p, read
+   leftward). Max-extension over a bucket then becomes a binary
+   search with text probes — the probe path's max LCP with the query
+   IS the bucket max (suffix-array insertion-point argument) — so
+   per-anchor cost is O(log cnt) instead of O(cnt) and cmax can rise
+   to 254 without linear-scan blowup (the 8x one-shot gap between
+   100 Mbp and 6.2G tracked mean bucket depth; ARCHITECTURE.md).
 
 Memory at GRCh38 scale (3.1G forward symbols, k=14, cmax=32):
 counts uint8 268 MB + aux uint32 1.07 GB + pruned poslist ~11 GB +
@@ -83,11 +96,21 @@ class AnchorIndexWide:
     j0: int                       # all two-strand ACGT j-mers occur, j<=j0
     cnts: np.ndarray              # [4^k] uint8 forward counts (sat. 255)
     aux: np.ndarray               # [4^k] uint32: pos (cnt==1) / offset
-    poslist: np.ndarray           # [np] uint32 starts (pruned, grouped)
+    poslist: np.ndarray           # [np] uint32 starts (pruned; grouped by
+                                  # key, right-suffix order inside a bucket
+                                  # when leftidx is present, else position
+                                  # ascending — legacy artifacts)
     levels: dict                  # j -> packed two-strand presence bitmap
     cmax: int = WIDE_CMAX
     heavy_rate: float = -1.0      # position-weighted P(phase over cmax);
                                   # -1 = unknown (pre-round-4 artifact)
+    # sorted-bucket + heavy-store extension (None on legacy artifacts):
+    leftidx: Optional[np.ndarray] = None    # [np] uint8: slot off+m holds
+                                            # the bucket-local index of the
+                                            # m-th entry in LEFT order
+    heavy_keys: Optional[np.ndarray] = None  # sorted int64 pruned keys
+    heavy_offs: Optional[np.ndarray] = None  # int64 [nh+1] prefix offsets
+    heavy_poslist: Optional[np.ndarray] = None  # uint32 pruned positions
 
     @property
     def n(self) -> int:
@@ -117,26 +140,61 @@ class AnchorIndexWide:
             return np.zeros(0, dtype=np.uint32)
         return self.poslist[off:off + c]
 
+    def heavy_occurrences(self, key: int) -> np.ndarray:
+        """Forward-strand occurrences of a PRUNED (over-cmax, cnt>=2)
+        k-mer from the host-only heavy store; empty when the key is not
+        heavy or the store is absent (legacy artifact)."""
+        if self.heavy_keys is None or len(self.heavy_keys) == 0:
+            return np.zeros(0, dtype=np.uint32)
+        i = int(np.searchsorted(self.heavy_keys, key))
+        if i >= len(self.heavy_keys) or int(self.heavy_keys[i]) != key:
+            return np.zeros(0, dtype=np.uint32)
+        return self.heavy_poslist[int(self.heavy_offs[i]):
+                                  int(self.heavy_offs[i + 1])]
+
+    def all_occurrences(self, key: int) -> np.ndarray:
+        """Forward occurrences of any k-mer: inline singleton, kept
+        bucket, or heavy store."""
+        c = int(self.cnts[key])
+        if c == 0:
+            return np.zeros(0, dtype=np.uint32)
+        if c == 1:
+            return np.array([self.aux[key]], dtype=np.uint32)
+        if int(self.aux[key]) == 0xFFFFFFFF:
+            return self.heavy_occurrences(key)
+        return self.poslist[int(self.aux[key]):int(self.aux[key]) + c]
+
     def save(self, path: str) -> None:
+        extra = {}
+        if self.leftidx is not None:
+            extra["leftidx"] = self.leftidx
+        if self.heavy_keys is not None:
+            extra["heavy_keys"] = self.heavy_keys
+            extra["heavy_offs"] = self.heavy_offs
+            extra["heavy_poslist"] = self.heavy_poslist
         np.savez(path, text=self.text, cnts=self.cnts, aux=self.aux,
                  poslist=self.poslist, cmax=np.int32(self.cmax),
                  heavy_rate=np.float64(self.heavy_rate),
                  k=np.int32(self.k), j0=np.int32(self.j0),
                  level_js=np.asarray(sorted(self.levels), dtype=np.int32),
-                 **{f"level_{j}": bm for j, bm in self.levels.items()})
+                 **{f"level_{j}": bm for j, bm in self.levels.items()},
+                 **extra)
 
     @classmethod
     def load(cls, path: str, mmap: bool = False) -> "AnchorIndexWide":
         z = np.load(path, mmap_mode="r" if mmap else None)
         levels = {int(j): np.asarray(z[f"level_{int(j)}"])
                   for j in z["level_js"]}
+        opt = {name: np.asarray(z[name]) for name in
+               ("leftidx", "heavy_keys", "heavy_offs", "heavy_poslist")
+               if name in z.files}
         return cls(text=np.asarray(z["text"]), k=int(z["k"]),
                    j0=int(z["j0"]), cnts=np.asarray(z["cnts"]),
                    aux=np.asarray(z["aux"]),
                    poslist=np.asarray(z["poslist"]), levels=levels,
                    cmax=int(z["cmax"]),
                    heavy_rate=float(z["heavy_rate"])
-                   if "heavy_rate" in z.files else -1.0)
+                   if "heavy_rate" in z.files else -1.0, **opt)
 
 
 def _keys_and_clean(text: np.ndarray, k: int,
@@ -193,17 +251,89 @@ def _native_wide():
     return lib
 
 
+def _bucket_order(Tc: np.ndarray, first: np.ndarray, step: int,
+                  W: int = 32) -> np.ndarray:
+    """Exact lexicographic order of text runs for one bucket.
+
+    Run i reads comparator symbols Tc[first[i]], Tc[first[i]+step], ...
+    until the text boundary; out-of-text compares SMALLER than any
+    symbol (suffix-array sentinel convention). Returns the member
+    indices in ascending order. Window-refined lexsort: ties within a
+    W-symbol window recurse W deeper (two distinct positions can never
+    be fully equal to the boundary, so recursion terminates)."""
+    n = len(Tc)
+    c = len(first)
+    out = np.empty(c, dtype=np.int64)
+    if c <= 1:
+        out[:c] = 0
+        return out
+    first = first.astype(np.int64)
+    stack = [(0, np.arange(c, dtype=np.int64), 0)]
+    while stack:
+        base, mem, d = stack.pop()
+        p = first[mem][:, None] + step * (d + np.arange(W))[None, :]
+        valid = (p >= 0) & (p < n)
+        sym = np.where(valid, Tc[np.clip(p, 0, n - 1)].astype(np.int16),
+                       np.int16(-1))
+        o = np.lexsort(tuple(sym[:, w] for w in range(W - 1, -1, -1)))
+        sym_o, mem_o = sym[o], mem[o]
+        eq = np.all(sym_o[1:] == sym_o[:-1], axis=1)
+        gb = np.flatnonzero(np.concatenate([[True], ~eq]))
+        gb = np.append(gb, len(mem_o))
+        cur = base
+        for gi in range(len(gb) - 1):
+            a, b = int(gb[gi]), int(gb[gi + 1])
+            if b - a == 1:
+                out[cur] = mem_o[a]
+            elif np.all(sym_o[a] == -1):
+                # fully exhausted tie (unreachable for distinct
+                # positions; positional order keeps determinism)
+                out[cur:cur + (b - a)] = np.sort(mem_o[a:b])
+            else:
+                stack.append((cur, mem_o[a:b], d + W))
+            cur += b - a
+    return out
+
+
+def _sort_buckets_numpy(text: np.ndarray, k: int, aux: np.ndarray,
+                        cnts_full: np.ndarray, keep: np.ndarray,
+                        poslist: np.ndarray) -> np.ndarray:
+    """Reorder every kept bucket of `poslist` into right-suffix order
+    (in place) and return the uint8 left-order inverse permutation
+    (`leftidx`). Pure-numpy fallback for the native sort pass."""
+    Tc = ((text.astype(np.int16) - 1) & 3).astype(np.uint8)
+    leftidx = np.zeros(len(poslist), dtype=np.uint8)
+    for key in np.flatnonzero(keep):
+        off = int(aux[key])
+        c = int(cnts_full[key])
+        sl = poslist[off:off + c].astype(np.int64)
+        ro = _bucket_order(Tc, sl + k, +1)
+        sl = sl[ro]
+        poslist[off:off + c] = sl.astype(np.uint32)
+        lo = _bucket_order(Tc, sl - 1, -1)
+        leftidx[off:off + c] = lo.astype(np.uint8)
+    return leftidx
+
+
 def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
                             cmax: int = WIDE_CMAX,
                             log: Optional[Callable[[str], None]] = None,
                             block: int = 1 << 27,
-                            use_native: bool = True) -> AnchorIndexWide:
+                            use_native: bool = True,
+                            sort_buckets: bool = True,
+                            keep_heavy: bool = True) -> AnchorIndexWide:
     """Build wide tables over a FORWARD text (n < 2^32).
 
-    The keys/count/scatter passes run in native C++ when
+    The keys/count/scatter/sort passes run in native C++ when
     native/libsvdss_native.so is built (bit-identical, ~20x faster at
     GRCh38 scale — the numpy keys pass alone is ~25 min at 3.1G
     symbols); peak host memory ~20 B/symbol either way.
+
+    sort_buckets orders each kept bucket by the following suffix and
+    emits the leftidx permutation (the device binary-probe engine's
+    table format); keep_heavy retains pruned occurrence lists in the
+    host-only heavy store (the per-phase resolver's data). Both default
+    on; legacy (unsorted, no-store) artifacts still load and search.
     """
     def say(msg):
         if log:
@@ -218,6 +348,11 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
     # mask is UB at k >= 16, so reject explicit k past the key width
     # even though pick_k_wide caps at 14
     assert 1 <= k <= 15, f"wide anchor k={k} exceeds int32 key range"
+    # uint8 saturation argument: cnts saturate at 255 > cmax, so a
+    # saturated strand count alone already reads heavy, and unsaturated
+    # totals are exact — cmax <= 254 keeps the device's heavy test
+    # exact. leftidx (bucket-local uint8) needs the same bound.
+    assert 2 <= cmax <= 254, f"wide cmax={cmax} outside [2, 254]"
     nk = 1 << (2 * k)
     lib = _native_wide() if use_native else None
 
@@ -292,6 +427,13 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
     aux[keep] = seg[:-1][keep].astype(np.uint32)
 
     single = cnts_full == 1
+    heavy = keep_heavy and ((cnts_full >= 2) & (total > cmax))
+    if keep_heavy:
+        hseg = np.zeros(nk + 1, dtype=np.int64)
+        np.cumsum(np.where(heavy, cnts_full, 0), out=hseg[1:])
+        nh_total = int(hseg[-1])
+    else:
+        nh_total = 0
     if lib is not None:
         # counting-sort scatter: per key, positions ascending — the
         # same grouped order the stable argsort below produces
@@ -304,37 +446,89 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
             keep_u8.ctypes.data, cursor.ctypes.data,
             poslist.ctypes.data, single_u8.ctypes.data, aux.ctypes.data)
         assert written == np_total, "kept-entry count mismatch"
-        del keys, cleanc, cursor, keep_u8, single_u8
+        del cursor, keep_u8, single_u8
+        if nh_total:
+            hcursor = hseg[:-1].copy()
+            heavy_poslist = np.empty(nh_total, dtype=np.uint32)
+            heavy_u8 = heavy.astype(np.uint8)
+            none_u8 = np.zeros(nk, dtype=np.uint8)
+            hw = lib.svdss_wide_scatter(
+                keys.ctypes.data, cleanc.ctypes.data, n, k,
+                heavy_u8.ctypes.data, hcursor.ctypes.data,
+                heavy_poslist.ctypes.data, none_u8.ctypes.data,
+                aux.ctypes.data)
+            assert hw == nh_total, "heavy-entry count mismatch"
+            del hcursor, heavy_u8, none_u8
+        del keys, cleanc
     else:
         # gather the kept entries (chunked), then one stable argsort
         # groups positions by key; singleton inline positions fill in
         # the same pass
-        vk = np.empty(np_total, dtype=np.int32)
-        st = np.empty(np_total, dtype=np.uint32)
-        w = 0
+        def _gather(sel_mask, count):
+            vk = np.empty(count, dtype=np.int32)
+            st = np.empty(count, dtype=np.uint32)
+            w = 0
+            for lo in range(0, n, block):
+                hi = min(n, lo + block)
+                kb = keys[lo:hi]
+                okb = cleanc[lo:hi] >= min(k, 255)
+                starts_b = (np.arange(lo, hi, dtype=np.int64) - (k - 1))
+                ke = okb & sel_mask[kb]
+                m = int(ke.sum())
+                vk[w:w + m] = kb[ke]
+                st[w:w + m] = starts_b[ke].astype(np.uint32)
+                w += m
+            assert w == count, "entry count mismatch"
+            order = np.argsort(vk, kind="stable")
+            return np.ascontiguousarray(st[order])
+
         for lo in range(0, n, block):
             hi = min(n, lo + block)
             kb = keys[lo:hi]
             okb = cleanc[lo:hi] >= min(k, 255)
             starts_b = (np.arange(lo, hi, dtype=np.int64) - (k - 1))
-            ke = okb & keep[kb]
-            m = int(ke.sum())
-            vk[w:w + m] = kb[ke]
-            st[w:w + m] = starts_b[ke].astype(np.uint32)
-            w += m
             se = okb & single[kb]
             aux[kb[se]] = starts_b[se].astype(np.uint32)
-        assert w == np_total, "kept-entry count mismatch"
+        poslist = _gather(keep, np_total)
+        heavy_poslist = _gather(heavy, nh_total) if nh_total else None
         del keys, cleanc
-        order = np.argsort(vk, kind="stable")
-        poslist = np.ascontiguousarray(st[order])
-        del vk, st, order
-    say(f"poslist {np_total} entries")
+    say(f"poslist {np_total} entries"
+        + (f", heavy store {nh_total} entries" if nh_total else ""))
+
+    heavy_keys = heavy_offs = None
+    if nh_total:
+        heavy_keys = np.flatnonzero(heavy).astype(np.int64)
+        heavy_offs = np.zeros(len(heavy_keys) + 1, dtype=np.int64)
+        np.cumsum(cnts_full[heavy_keys], out=heavy_offs[1:])
+    elif keep_heavy:
+        heavy_keys = np.zeros(0, dtype=np.int64)
+        heavy_offs = np.zeros(1, dtype=np.int64)
+        heavy_poslist = np.zeros(0, dtype=np.uint32)
+    else:
+        heavy_poslist = None
+
+    leftidx = None
+    if sort_buckets:
+        if lib is not None and hasattr(lib, "svdss_wide_sort"):
+            leftidx = np.zeros(np_total, dtype=np.uint8)
+            keep_u8 = keep.astype(np.uint8)
+            cf32 = np.minimum(cnts_full, 255).astype(np.uint8)
+            lib.svdss_wide_sort(
+                text.ctypes.data, n, k, aux.ctypes.data,
+                cf32.ctypes.data, keep_u8.ctypes.data,
+                poslist.ctypes.data, leftidx.ctypes.data, 2)
+            del keep_u8, cf32
+        else:
+            leftidx = _sort_buckets_numpy(text, k, aux, cnts_full, keep,
+                                          poslist)
+        say("buckets sorted (right order + leftidx)")
 
     cnts = np.minimum(cnts_full, 255).astype(np.uint8)
     return AnchorIndexWide(text=text, k=k, j0=j0, cnts=cnts, aux=aux,
                            poslist=poslist, levels=levels, cmax=cmax,
-                           heavy_rate=heavy_rate)
+                           heavy_rate=heavy_rate, leftidx=leftidx,
+                           heavy_keys=heavy_keys, heavy_offs=heavy_offs,
+                           heavy_poslist=heavy_poslist)
 
 
 # ------------------------------------------------------------- host search
@@ -358,6 +552,92 @@ def _key_ending(P, p, j):
 # "right": max m with P[pos..pos+m-1] in it. Used in place of
 # NeedsFallback when provided (the exact FM engine supplies it).
 Resolver = Callable[[np.ndarray, int, str], int]
+
+
+def _max_ext_vec(T: np.ndarray, occ: np.ndarray, Pw: np.ndarray,
+                 cap: int, step: int, t0_off: int) -> int:
+    """max extension over occurrence array `occ` against the pattern
+    window `Pw` (already orientation-transformed, Pw[e] is the symbol
+    the text must equal at extension e; Pw[e] < 0 marks a never-match
+    read symbol). Text position for occurrence p at extension e is
+    p + t0_off + step*e. Vectorized with survivor compaction — heavy
+    buckets run to millions of entries."""
+    n = len(T)
+    if cap <= 0 or len(occ) == 0:
+        return 0
+    alive = occ.astype(np.int64)
+    best = 0
+    e = 0
+    CH = 16
+    while len(alive) and e < cap:
+        w = min(CH, cap - e)
+        p = alive[:, None] + t0_off + step * (e + np.arange(w))[None, :]
+        inb = (p >= 0) & (p < n)
+        tv = np.where(inb, T[np.clip(p, 0, n - 1)].astype(np.int16), -1)
+        pv = Pw[e:e + w][None, :]
+        ok = inb & (tv == pv) & (pv >= 0)
+        run = np.where(ok.all(axis=1), w,
+                       np.argmin(ok, axis=1))
+        m = int(run.max(initial=0))
+        best = max(best, e + m)
+        if best >= cap:
+            return cap
+        alive = alive[run == w]
+        e += w
+    return best
+
+
+def make_heavy_resolver(idx: AnchorIndexWide) -> Optional[Resolver]:
+    """Exact heavy-phase resolver backed by the host-only heavy store —
+    the per-phase answer for k-mers pruned from the device poslist
+    (no FM index required). Returns None on legacy artifacts without
+    the store. Semantics match ms_left_wide / fms_right_wide's
+    extension loops symbol for symbol."""
+    if idx.heavy_keys is None:
+        return None
+    T = idx.text
+    k = idx.k
+
+    def resolver(P: np.ndarray, pos: int, direction: str) -> int:
+        P = np.asarray(P, dtype=np.uint8)
+        Pi = P.astype(np.int16)
+        if direction == "left":
+            r = pos
+            maxlen = r + 1
+            key = _key_ending(P, r, k)
+            cap = maxlen - k
+            # orientation A: forward occurrence, extend LEFT;
+            # Pw[e] = P[r-k-e] (match requires P != 0)
+            wa = Pi[r - k::-1][:cap] if r - k >= 0 else Pi[:0]
+            wa = np.where(wa == 0, -1, wa)
+            # orientation B: occurrence of RC key, extend RIGHT with
+            # complemented read symbols (match requires 1<=P<=4)
+            wb = 5 - Pi[r - k::-1][:cap] if r - k >= 0 else Pi[:0]
+            wb = np.where((wb >= 1) & (wb <= 4), wb, -1)
+            best = _max_ext_vec(T, idx.all_occurrences(key), wa, cap,
+                                -1, -1)
+            if best < cap:
+                rkey = rc_key_scalar(key, k)
+                best = max(best, _max_ext_vec(
+                    T, idx.all_occurrences(rkey), wb, cap, +1, k))
+            return k + best
+        b = pos
+        l = len(P)
+        maxlen = l - b
+        key = _key_ending(P, b + k - 1, k)
+        cap = maxlen - k
+        wa = Pi[b + k:b + k + cap]
+        wa = np.where(wa == 0, -1, wa)
+        wb = 5 - Pi[b + k:b + k + cap]
+        wb = np.where((wb >= 1) & (wb <= 4), wb, -1)
+        best = _max_ext_vec(T, idx.all_occurrences(key), wa, cap, +1, k)
+        if best < cap:
+            rkey = rc_key_scalar(key, k)
+            best = max(best, _max_ext_vec(
+                T, idx.all_occurrences(rkey), wb, cap, -1, -1))
+        return k + best
+
+    return resolver
 
 
 def ms_left_wide(idx: AnchorIndexWide, P: np.ndarray, r: int,

@@ -60,8 +60,11 @@ SPAN2_W = 32      # int32 words per span row (16 x 2-bit symbols each)
 STAGE = 8
 STAGE_EVERY = 8
 
-# lane modes
-KEY, SUB, POS, VER, KEYB = 0, 1, 2, 3, 4
+# lane modes (PARKED/RESOLVED only occur under the parked-phase wave
+# driver: a lane that lands on a heavy anchor parks instead of failing
+# the whole read; the host resolves the phase exactly from the heavy
+# store and re-injects the matching statistic)
+KEY, SUB, POS, VER, KEYB, PARKED, RESOLVED = 0, 1, 2, 3, 4, 5, 6
 
 # mismatch-scan lowering bisect knob: the word-level scan replaced a
 # [Q, 512] per-symbol expansion; set SVDSS_WIDE_EXPAND=1 to compile the
@@ -77,6 +80,9 @@ class DeviceAnchorWide(NamedTuple):
     bms: jax.Array        # [B, 2] int32 fused level bitmaps
     text2: jax.Array      # [nrow, 32] int32 2-bit span rows
     badrow: jax.Array     # [ceil(nrow/32)] int32 span-has-non-ACGT bits
+    lperm: jax.Array      # [ceil(NP/4)] int32: packed uint8 left-order
+                          # inverse perm (4/word); [1] dummy on legacy
+                          # (unsorted) tables
 
     @property
     def nbytes(self) -> int:
@@ -90,6 +96,7 @@ class WideParams:
     cmax: int
     n: int
     bm_bases: Tuple[int, ...]     # row offset per level j0+1 .. k-1
+    sorted_b: bool = False        # buckets suffix-ordered (binary probes)
 
 
 def pack_text2(text: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -143,15 +150,25 @@ def build_device_anchor_wide(widx: AnchorIndexWide
     bms = (np.concatenate(bm_parts) if bm_parts
            else np.zeros((1, 2), dtype=np.int32))
     text2, badrow = pack_text2(widx.text)
+    sorted_b = widx.leftidx is not None
+    if sorted_b:
+        li = widx.leftidx
+        pad = (-len(li)) % 4
+        if pad:
+            li = np.concatenate([li, np.zeros(pad, dtype=np.uint8)])
+        lperm = li.view(np.int32)
+    else:
+        lperm = np.zeros(1, dtype=np.int32)
     dev = DeviceAnchorWide(
         cnts=jnp.asarray(widx.cnts),
         aux=jnp.asarray(widx.aux),
         pospairs=jnp.asarray(pl.reshape(-1, 2)),
         bms=jnp.asarray(bms),
         text2=jnp.asarray(text2),
-        badrow=jnp.asarray(badrow))
+        badrow=jnp.asarray(badrow),
+        lperm=jnp.asarray(lperm))
     params = WideParams(k=k, j0=j0, cmax=widx.cmax, n=widx.n,
-                        bm_bases=tuple(bm_bases))
+                        bm_bases=tuple(bm_bases), sorted_b=sorted_b)
     return dev, params
 
 

@@ -207,3 +207,100 @@ class TestNativeBuildParity:
         b = build_anchor_index_wide(text.copy(), k=8, use_native=False)
         np.testing.assert_array_equal(a.cnts, b.cnts)
         np.testing.assert_array_equal(a.poslist, b.poslist)
+
+
+class TestSortedBucketsAndHeavyStore:
+    """Round-4 table extension: suffix-ordered buckets (binary-probe
+    format) + host-side heavy store with the exact per-phase resolver."""
+
+    def _brute_right_order(self, text, k, sl):
+        Tc = ((text.astype(np.int16) - 1) & 3).astype(np.uint8)
+        sfx = [Tc[int(p) + k:].tobytes() for p in sl]
+        return sorted(range(len(sl)), key=lambda i: sfx[i])
+
+    def _brute_left_order(self, text, sl):
+        Tc = ((text.astype(np.int16) - 1) & 3).astype(np.uint8)
+        pre = [Tc[:int(p)][::-1].tobytes() for p in sl]
+        return sorted(range(len(sl)), key=lambda i: pre[i])
+
+    def test_bucket_orders_match_bruteforce(self):
+        rng = np.random.default_rng(23)
+        unit = _mk_genome(rng, 120)
+        chroms = {"c": unit * 10 + _mk_genome(rng, 30_000)}
+        text = _fwd_text(chroms)
+        widx = build_anchor_index_wide(text, k=8, cmax=32)
+        assert widx.leftidx is not None
+        kept = np.flatnonzero((widx.aux != 0xFFFFFFFF) & (widx.cnts >= 2))
+        checked = 0
+        for key in kept[:: max(1, len(kept) // 200)]:
+            c = int(widx.cnts[key])
+            off = int(widx.aux[key])
+            sl = widx.poslist[off:off + c]
+            # poslist holds the bucket already right-ordered
+            resort = np.asarray(self._brute_right_order(text, widx.k, sl))
+            assert np.array_equal(resort, np.arange(c)), \
+                f"bucket for key {key} not in right-suffix order"
+            lwant = self._brute_left_order(text, sl)
+            assert np.array_equal(widx.leftidx[off:off + c],
+                                  np.asarray(lwant, dtype=np.uint8))
+            checked += 1
+        assert checked > 10
+
+    def test_heavy_store_contents(self):
+        rng = np.random.default_rng(29)
+        unit = _mk_genome(rng, 200)
+        chroms = {"c": unit * 30 + _mk_genome(rng, 8_000)}
+        text = _fwd_text(chroms)
+        widx = build_anchor_index_wide(text, k=8, cmax=8)
+        assert widx.heavy_keys is not None and len(widx.heavy_keys) > 0
+        # every heavy key's store holds exactly its text occurrences
+        from svdss_tpu.ops.anchor_wide import _keys_and_clean
+        keys, cleanc = _keys_and_clean(text, widx.k)
+        for key in widx.heavy_keys[:20]:
+            occ = np.sort(widx.heavy_occurrences(int(key)))
+            ends = np.flatnonzero((keys == key) & (cleanc >= widx.k))
+            want = (ends - (widx.k - 1)).astype(np.uint32)
+            assert np.array_equal(occ, want)
+        # and non-heavy keys return empty
+        lk = int(np.flatnonzero((widx.cnts >= 2)
+                                & (widx.aux != 0xFFFFFFFF))[0])
+        assert len(widx.heavy_occurrences(lk)) == 0
+
+    def test_heavy_resolver_matches_naive(self):
+        from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+        rng = np.random.default_rng(31)
+        unit = _mk_genome(rng, 300)
+        chroms = {"r": unit * 40 + _mk_genome(rng, 5_000)}
+        index = build_index(chroms)
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=8, cmax=8)
+        res = make_heavy_resolver(widx)
+        assert res is not None
+        raised = 0
+        for P in _reads(rng, chroms, 15, 500):
+            want = ping_pong_search(index, P)
+            try:
+                got = anchor_search_wide(widx, P)
+            except NeedsFallback:
+                raised += 1
+                got = anchor_search_wide(widx, P, resolver=res)
+            assert got == want
+        assert raised > 0
+
+    def test_save_load_roundtrip_with_extensions(self, tmp_path):
+        rng = np.random.default_rng(37)
+        chroms = {"c": _mk_genome(rng, 4_000) * 3}
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=7, cmax=8)
+        p = str(tmp_path / "wide.npz")
+        widx.save(p)
+        w2 = AnchorIndexWide.load(p)
+        np.testing.assert_array_equal(widx.poslist, w2.poslist)
+        np.testing.assert_array_equal(widx.leftidx, w2.leftidx)
+        np.testing.assert_array_equal(widx.heavy_keys, w2.heavy_keys)
+        np.testing.assert_array_equal(widx.heavy_poslist, w2.heavy_poslist)
+        # legacy artifact (no extension arrays) still loads
+        w3 = build_anchor_index_wide(_fwd_text(chroms), k=7, cmax=8,
+                                     sort_buckets=False, keep_heavy=False)
+        p3 = str(tmp_path / "legacy.npz")
+        w3.save(p3)
+        w4 = AnchorIndexWide.load(p3)
+        assert w4.leftidx is None and w4.heavy_keys is None
