@@ -282,6 +282,8 @@ def _lane_reset_wide(Q: int, lens: jax.Array,
         cnt=jnp.zeros(Q, dtype=jnp.int32),
         aux=jnp.zeros(Q, dtype=jnp.uint32),
         occ_i=jnp.zeros(Q, dtype=jnp.int32),
+        bhi=jnp.zeros(Q, dtype=jnp.int32),
+        inj_m=jnp.zeros(Q, dtype=jnp.int32),
         occ_pos=jnp.zeros(Q, dtype=jnp.uint32),
         ext=jnp.zeros(Q, dtype=jnp.int32),
         best=jnp.zeros(Q, dtype=jnp.int32),
@@ -299,9 +301,21 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                           overlap: int, nwm: int,
                           lane_budget: jax.Array | int = 0,
                           read_chunks: jax.Array | None = None,
-                          lens: jax.Array | None = None):
-    """One lockstep wide round (see module docstring)."""
+                          lens: jax.Array | None = None,
+                          park: bool = False):
+    """One lockstep wide round (see module docstring).
+
+    park=True: a heavy anchor PARKS the lane (mode PARKED — it stops
+    running but stays live) instead of flagging the whole read for
+    host fallback; the wave driver resolves parked phases on the host
+    and re-injects them as mode RESOLVED with the matching statistic
+    in inj_m. With params.sorted_b, multi-occurrence buckets run a
+    binary search with text probes over the suffix-ordered bucket
+    (right order directly; left order through the lperm bytes) —
+    O(log cnt) probe rounds per orientation instead of the O(cnt)
+    pair-verify scan."""
     k, j0, cmax = params.k, params.j0, params.cmax
+    sorted_b = params.sorted_b
     stage_iota = jax.lax.broadcasted_iota(jnp.int32, (1, STAGE), 1)
     c_chunks, c_lens = read_chunks, lens
     bm_bases = jnp.asarray(
@@ -313,6 +327,8 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         lens = c_lens if c_lens is not None else s["lens"]
         Q = chunks.shape[0]
         active = s["active"] & ~s["fb"] & (s["nstage"] < STAGE)
+        if park:
+            active = active & (s["mode"] != PARKED)
         dirb, mode, anc = s["dirb"], s["mode"], s["anc"]
         strand = s["strand"]
         is_b = dirb == 1
@@ -324,6 +340,8 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         is_sub = active & (mode == SUB)
         is_pos = active & (mode == POS)
         is_ver = active & (mode == VER)
+        is_res = active & (mode == RESOLVED) if park else jnp.zeros(
+            Q, dtype=bool)
         on_b = (strand == 1) & ~is_key      # orientation B (left-compare)
 
         # ---- read-row gather (gather 1)
@@ -366,7 +384,9 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         ctot = cnt_a + cnt_b
         k_heavy = use_meta & (ctot > cmax)
         k_empty = use_meta & (ctot == 0)
-        fb_new = k_heavy
+        # heavy anchor: park the phase for host resolve (wave driver)
+        # or fail the read to the exact host path (one-shot driver)
+        fb_new = jnp.zeros(Q, dtype=bool) if park else k_heavy
 
         # ---- aux gather (gather 4): KEY loads orientation A's aux,
         # KEYB loads orientation B's
@@ -382,30 +402,67 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
 
         # ---- chained poslist-pair gather (gather 5)
         chain_multi = a_multi | b_multi
-        off32 = (aux_g >> 1).astype(jnp.int32)
-        prow_new = jnp.where(chain_multi, off32, 0)
-        pr = index.pospairs[jnp.clip(prow_new, 0,
-                                     index.pospairs.shape[0] - 1)]
-        occ0 = jnp.where((aux_g & jnp.uint32(1)) == 1, pr[:, 1], pr[:, 0])
+        if sorted_b:
+            # binary probes: a bucket start (KEY a_multi / KEYB b_multi)
+            # probes its middle entry; a POS round probes mid=(lo+hi)/2.
+            # Right-compare lanes (orientation A) index the bucket
+            # directly (it is stored in right-suffix order); left-compare
+            # lanes (B) go through the lperm byte for the left order.
+            lo_eff = jnp.where(is_key | is_keyb, 0, s["occ_i"])
+            bhi_eff = jnp.where(start_a, cnt_a,
+                                jnp.where(is_keyb, s["cntb"], s["bhi"]))
+            mid_eff = (lo_eff + bhi_eff) >> 1
+            aux_for = jnp.where(is_key | is_keyb, aux_g, s["aux"])
+            need_l = b_multi | (is_pos & (strand == 1))
+            lslot = aux_for + jnp.asarray(mid_eff, jnp.uint32)
+            lrow = jnp.clip((lslot >> 2).astype(jnp.int32), 0,
+                            index.lperm.shape[0] - 1)
+            lw = index.lperm[jnp.where(need_l, lrow, 0)]
+            li = (jax.lax.shift_right_logical(
+                lw, ((lslot & jnp.uint32(3)) * 8).astype(jnp.int32))
+                & 255)
+            sel = jnp.where(need_l, li, mid_eff)
+            slot = aux_for + jnp.asarray(sel, jnp.uint32)
+            want_probe = a_multi | b_multi | is_pos
+            prow = jnp.where(want_probe, (slot >> 1).astype(jnp.int32), 0)
+            pr = index.pospairs[jnp.clip(prow, 0,
+                                         index.pospairs.shape[0] - 1)]
+            occ_probe = jnp.where((slot & jnp.uint32(1)) == 1, pr[:, 1],
+                                  pr[:, 0])
+            chained = a_single | a_multi | b_single | b_multi | is_pos
+            ver_like = is_ver | chained
+            occ_eff = jnp.where(a_single | b_single, aux_g,
+                                jnp.where(want_probe, occ_probe,
+                                          s["occ_pos"]))
+            occ_i_eff = lo_eff
+            cnt_eff = jnp.where(start_a, cnt_a,
+                                jnp.where(is_keyb, s["cntb"], s["cnt"]))
+        else:
+            off32 = (aux_g >> 1).astype(jnp.int32)
+            prow_new = jnp.where(chain_multi, off32, 0)
+            pr = index.pospairs[jnp.clip(prow_new, 0,
+                                         index.pospairs.shape[0] - 1)]
+            occ0 = jnp.where((aux_g & jnp.uint32(1)) == 1, pr[:, 1],
+                             pr[:, 0])
 
-        pos_row = ((s["aux"] + jnp.asarray(s["occ_i"], jnp.uint32))
-                   >> 1).astype(jnp.int32)
-        # POS rounds reuse gather 5's slot via a second gather on the
-        # same table (cheap 8-byte rows)
-        pr2 = index.pospairs[jnp.where(is_pos, pos_row, 0)]
-        occ_from_row = jnp.where(
-            ((s["aux"] + jnp.asarray(s["occ_i"], jnp.uint32)) & 1) == 1,
-            pr2[:, 1], pr2[:, 0])
+            pos_row = ((s["aux"] + jnp.asarray(s["occ_i"], jnp.uint32))
+                       >> 1).astype(jnp.int32)
+            # POS rounds reuse gather 5's slot via a second gather on the
+            # same table (cheap 8-byte rows)
+            pr2 = index.pospairs[jnp.where(is_pos, pos_row, 0)]
+            occ_from_row = jnp.where(
+                ((s["aux"] + jnp.asarray(s["occ_i"], jnp.uint32)) & 1) == 1,
+                pr2[:, 1], pr2[:, 0])
 
-        chained = a_single | a_multi | b_single | b_multi | is_pos
-        ver_like = is_ver | chained
-        occ_eff = jnp.where(a_single | b_single, aux_g,
-                            jnp.where(chain_multi, occ0,
-                                      jnp.where(is_pos, occ_from_row,
-                                                s["occ_pos"])))
-        occ_i_eff = jnp.where(is_key | is_keyb, 0, s["occ_i"])
-        cnt_eff = jnp.where(start_a, cnt_a,
-                            jnp.where(is_keyb, s["cntb"], s["cnt"]))
+            chained = a_single | a_multi | b_single | b_multi | is_pos
+            ver_like = is_ver | chained
+            occ_eff = jnp.where(a_single | b_single, aux_g,
+                                jnp.where(chain_multi, occ0,
+                                          jnp.where(is_pos, occ_from_row,
+                                                    s["occ_pos"])))
+            occ_i_eff = jnp.where(is_key | is_keyb, 0, s["occ_i"])
+            cnt_eff = jnp.where(start_a, cnt_a,
+                                jnp.where(is_keyb, s["cntb"], s["cnt"]))
         best_eff = jnp.where(is_key, 0, s["best"])
         aux_eff = jnp.where(is_key | is_keyb, aux_g, s["aux"])
         # B orientation for lanes whose compare starts THIS round
@@ -421,21 +478,29 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         # survives its whole window continues solo; if both survive
         # (two 240+-symbol extensions — vanishingly rare) the second is
         # re-verified later, which is wasteful but exact.
-        j2 = occ_i_eff + 1
-        slot2 = aux_eff + jnp.asarray(j2, jnp.uint32)
-        pair_ok = ver_like & (ext_eff == 0) & (j2 < cnt_eff) \
-            & ~(a_single | b_single)
-        pr3 = index.pospairs[jnp.where(
-            pair_ok, (slot2 >> 1).astype(jnp.int32), 0)]
-        occ_2nd = jnp.where((slot2 & jnp.uint32(1)) == 1, pr3[:, 1],
-                            pr3[:, 0])
+        if sorted_b:
+            j2 = occ_i_eff
+            pair_ok = jnp.zeros(Q, dtype=bool)
+            occ_2nd = jnp.zeros(Q, dtype=jnp.uint32)
+        else:
+            j2 = occ_i_eff + 1
+            slot2 = aux_eff + jnp.asarray(j2, jnp.uint32)
+            pair_ok = ver_like & (ext_eff == 0) & (j2 < cnt_eff) \
+                & ~(a_single | b_single)
+            pr3 = index.pospairs[jnp.where(
+                pair_ok, (slot2 >> 1).astype(jnp.int32), 0)]
+            occ_2nd = jnp.where((slot2 & jnp.uint32(1)) == 1, pr3[:, 1],
+                                pr3[:, 0])
 
         vcap = maxlen - k
 
         def compare(occ_u, ext0, gate):
             """One text-row compare of the current read span against
             occurrence occ_u at extension ext0; returns the candidate's
-            (ext_after, survive, row_bad)."""
+            (ext_after, survive, row_bad, lt) — lt is the binary-probe
+            order bit: text run < query at the first mismatch (or the
+            text run exhausted at the boundary, which sorts smaller —
+            the build comparator's sentinel convention)."""
             t_right = occ_u + jnp.uint32(k) + ext0.astype(jnp.uint32)
             avail_l = occ_u - ext0.astype(jnp.uint32)
             tstart = jnp.where(left_cmp, avail_l - jnp.uint32(1), t_right)
@@ -483,7 +548,12 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                 hit_start = left_cmp & (first >= avail32)
                 survive = (gate & (first >= run_valid)
                            & (ext_after < vcap) & ~hit_start)
-                return ext_after, survive, row_bad
+                mpos = jnp.clip(jnp.where(left_cmp, cmp_off - first,
+                                          cmp_off + first), 0, SPAN2 - 1)
+                tsym = _select_sym2(shifted, mpos)
+                qsym = _select_sym2(chunk, mpos)
+                lt = hit_start | (tsym < qsym)
+                return ext_after, survive, row_bad, lt
             w0 = cmp_off >> 4
             r0 = cmp_off & 15
             w_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, SPAN2_W), 1)
@@ -530,27 +600,58 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
             hit_start = left_cmp & (first >= avail32)
             survive = (gate & (first >= run_valid) & (ext_after < vcap)
                        & ~hit_start)
-            return ext_after, survive, row_bad
+            mpos = jnp.clip(pos, 0, SPAN2 - 1)
+            tsym = _select_sym2(shifted, mpos)
+            qsym = _select_sym2(chunk, mpos)
+            lt = hit_start | (tsym < qsym)
+            return ext_after, survive, row_bad, lt
 
-        ext1_new, survive1, bad1 = compare(occ_eff, ext_eff, ver_like)
-        ext2_new, survive2, bad2 = compare(occ_2nd,
-                                           jnp.zeros_like(ext_eff),
-                                           pair_ok)
+        ext1_new, survive1, bad1, lt1 = compare(occ_eff, ext_eff,
+                                                ver_like)
+        if sorted_b:
+            survive2 = bad2 = jnp.zeros(Q, dtype=bool)
+            ext2_new = jnp.zeros_like(ext1_new)
+        else:
+            ext2_new, survive2, bad2, _ = compare(occ_2nd,
+                                                  jnp.zeros_like(ext_eff),
+                                                  pair_ok)
         fb_new = fb_new | bad1 | bad2
 
         best_new = best_eff
         best_new = jnp.where(ver_like & ~survive1,
                              jnp.maximum(best_new, ext1_new), best_new)
-        best_new = jnp.where(pair_ok & ~survive2,
-                             jnp.maximum(best_new, ext2_new), best_new)
-        early = best_new >= vcap
-        cont_occ = ver_like & ~early & (survive1 | (pair_ok & survive2))
-        cont_from2 = ~survive1 & pair_ok & survive2
-        occ_done = ver_like & ~cont_occ
-        # occurrences consumed this round (a surviving candidate keeps
-        # its index; re-verification of a both-survive second is exact)
-        next_i = occ_i_eff + jnp.where(pair_ok, 2, 1)
-        more_occ = occ_done & (next_i < cnt_eff) & ~early
+        if sorted_b:
+            # binary probe bookkeeping: a finished probe updates the
+            # bracket [lo, hi) by its order bit; the max LCP with the
+            # query over the whole bucket equals the max over the probe
+            # path (both insertion-point neighbors are always probed —
+            # the last lo-move probes ip-1, the last hi-move probes ip)
+            early = best_new >= vcap
+            done1 = ver_like & ~survive1
+            lo2 = jnp.where(done1 & lt1, mid_eff + 1, lo_eff)
+            hi2 = jnp.where(done1 & ~lt1, mid_eff, bhi_eff)
+            cont_occ = ver_like & ~early & survive1
+            cont_from2 = jnp.zeros(Q, dtype=bool)
+            occ_done = ver_like & ~cont_occ
+            more_occ = occ_done & (lo2 < hi2) & ~early
+            occ_i2 = jnp.where(ver_like, lo2, occ_i_eff)
+            bhi2 = jnp.where(ver_like, hi2, bhi_eff)
+        else:
+            best_new = jnp.where(pair_ok & ~survive2,
+                                 jnp.maximum(best_new, ext2_new), best_new)
+            early = best_new >= vcap
+            cont_occ = ver_like & ~early & (survive1
+                                            | (pair_ok & survive2))
+            cont_from2 = ~survive1 & pair_ok & survive2
+            occ_done = ver_like & ~cont_occ
+            # occurrences consumed this round (a surviving candidate
+            # keeps its index; re-verification of a both-survive second
+            # is exact)
+            next_i = occ_i_eff + jnp.where(pair_ok, 2, 1)
+            more_occ = occ_done & (next_i < cnt_eff) & ~early
+            occ_i2 = jnp.where(more_occ, next_i,
+                               jnp.where(cont_from2, j2, occ_i_eff))
+            bhi2 = s["bhi"]
         # orientation handoff: A exhausted and B has occurrences (lanes
         # whose chained A verify resolves in their KEY round read the
         # B count computed THIS round, not the stale state)
@@ -559,8 +660,6 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                 & (cntb_eff >= 1) & ~early)
         to_b = to_b | skip_to_b
         ver_resolve = occ_done & ~more_occ & ~to_b
-        occ_i2 = jnp.where(more_occ, next_i,
-                           jnp.where(cont_from2, j2, occ_i_eff))
 
         # ---- SUB cascade (two-strand bitmaps, single lookup)
         key_j = jax.lax.shift_right_logical(
@@ -583,6 +682,10 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                                     jnp.where(sub_floor, jnp.int32(j0),
                                               k + best_new)))
         resolve = floor_case | sub_resolve | ver_resolve
+        if park:
+            # host-resolved heavy phase: take the injected statistic
+            m_res = jnp.where(is_res, s["inj_m"], m_res)
+            resolve = resolve | is_res
 
         b_res = resolve & is_b
         f_res = resolve & ~is_b
@@ -625,6 +728,8 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         mode2 = jnp.where(cont_occ, VER, mode2)
         mode2 = jnp.where(more_occ, POS, mode2)
         mode2 = jnp.where(to_b, KEYB, mode2)
+        if park:
+            mode2 = jnp.where(k_heavy, PARKED, mode2)
         strand2 = jnp.where(to_fwd | restart, 0,
                             jnp.where(to_b, 1, strand))
 
@@ -651,10 +756,10 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         out.update(rounds=s["rounds"] + 1, active=active2, fb=fb2,
                    dirb=dir2, mode=mode2, anc=anc2, strand=strand2,
                    key=key2, keyb=keyb2, cntb=cntb2, subj=subj2,
-                   cnt=cnt2, aux=aux2, occ_i=occ2, occ_pos=occ_pos2,
-                   ext=ext2, best=best2, nstage=nstage,
-                   stage_qs=stage_qs, stage_l=stage_l, age=age2,
-                   done_r=done_r2)
+                   cnt=cnt2, aux=aux2, occ_i=occ2, bhi=bhi2,
+                   occ_pos=occ_pos2, ext=ext2, best=best2,
+                   nstage=nstage, stage_qs=stage_qs, stage_l=stage_l,
+                   age=age2, done_r=done_r2)
         return out
 
     return round_body
@@ -682,6 +787,121 @@ def _merge_stage_wide(s: dict, cap: int) -> dict:
     out["done_r"] = jnp.where((s["done_r"] < 0) & overflow, s["rounds"],
                               s["done_r"])
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",
+                                             "overlap"))
+def _wave_step(index: DeviceAnchorWide, params: WideParams,
+               seqs: jax.Array, lens: jax.Array, core: dict,
+               oq: jax.Array, ol: jax.Array, cap: int, max_rounds: int,
+               overlap: int):
+    """Run the parked-phase engine until every live lane is done or
+    PARKED (one wave). The state dict round-trips device-resident
+    between waves; only the small park vectors transfer to the host."""
+    Q, Lp1 = seqs.shape
+    wlp = words_per_lane2(Lp1)
+    words, _ = pack_read_words2(seqs, lens, wlp)
+    chunks = derive_chunks2(words)
+    round_body = _make_round_body_wide(index, params, overlap,
+                                       chunk_rows2(Lp1),
+                                       read_chunks=chunks, lens=lens,
+                                       park=True)
+
+    def runnable(s):
+        return s["active"] & ~s["fb"] & (s["mode"] != PARKED)
+
+    def outer_cond(c):
+        s = c[0]
+        return jnp.any(runnable(s)) & (s["rounds"] < max_rounds)
+
+    def inner_cond(s):
+        return (jnp.any(runnable(s) & (s["nstage"] < STAGE))
+                & (s["rounds"] < max_rounds)
+                & (s["rounds"] < s["stage_at"] + STAGE_EVERY))
+
+    def outer_body(c):
+        core, oq, ol = c
+        core = dict(core)
+        core["stage_at"] = core["rounds"]
+        core = jax.lax.while_loop(inner_cond, round_body, core)
+        merged = _merge_stage_wide({**core, "out_qs": oq, "out_l": ol},
+                                   cap)
+        return ({k: merged[k] for k in core},
+                merged["out_qs"], merged["out_l"])
+
+    return jax.lax.while_loop(outer_cond, outer_body, (core, oq, ol))
+
+
+def batch_search_anchor_wide_waves(index: DeviceAnchorWide,
+                                   params: WideParams,
+                                   seqs: jax.Array, lens: jax.Array,
+                                   resolve_phases,
+                                   cap: int = 128, max_rounds: int = 0,
+                                   overlap: int = -1,
+                                   park_limit: int = 64
+                                   ) -> PingPongResult:
+    """Wide anchor search with per-phase host resolve: heavy anchors
+    PARK their lane; between device waves the host answers each parked
+    phase exactly from the heavy store (``resolve_phases(lanes, ancs,
+    dirbs) -> m[int32]``, see ops/anchor_wide.make_heavy_resolver) and
+    the lane resumes. Repeat-rich genomes stay device-resident instead
+    of collapsing to per-read fallback (docs/REPEAT_WIDE_r04.json: 96%
+    of reads fell back at human repeat densities). A lane parking more
+    than park_limit times (satellite-interior reads) falls back whole —
+    output stays exact through the host path either way."""
+    Q, Lp1 = seqs.shape
+    if max_rounds == 0:
+        max_rounds = 8 * (Lp1 - 1) + 64
+    seqs_np = np.asarray(seqs)
+    lens_np = np.asarray(lens)
+    inread = np.arange(Lp1)[None, :] < lens_np[:, None]
+    has_bad = (inread & ((seqs_np < 1) | (seqs_np > 4))).any(axis=1)
+    lens_j = jnp.asarray(lens_np)
+    core = dict(rounds=jnp.int32(0), stage_at=jnp.int32(0),
+                **_lane_reset_wide(Q, lens_j, jnp.asarray(has_bad)))
+    oq = jnp.zeros((Q, cap), dtype=jnp.int32)
+    ol = jnp.zeros((Q, cap), dtype=jnp.int32)
+    parks = np.zeros(Q, dtype=np.int64)
+    while True:
+        core, oq, ol = _wave_step(index, params, seqs, lens_j, core,
+                                  oq, ol, cap=cap,
+                                  max_rounds=max_rounds, overlap=overlap)
+        mode = np.asarray(core["mode"])
+        act = np.asarray(core["active"])
+        fbv = np.asarray(core["fb"])
+        rounds = int(np.asarray(core["rounds"]))
+        parked = act & ~fbv & (mode == PARKED)
+        lanes = np.flatnonzero(parked)
+        if lanes.size == 0:
+            break
+        if rounds >= max_rounds:
+            # round budget exhausted with phases still parked: those
+            # lanes re-run whole on the exact host path
+            fbv = fbv.copy()
+            fbv[lanes] = True
+            core = dict(core, fb=jnp.asarray(fbv))
+            break
+        parks[lanes] += 1
+        over = parks[lanes] > park_limit
+        good = lanes[~over]
+        anc = np.asarray(core["anc"])
+        dirb = np.asarray(core["dirb"])
+        inj = np.asarray(core["inj_m"]).copy()
+        mode = mode.copy()
+        if good.size:
+            inj[good] = resolve_phases(good, anc[good], dirb[good])
+            mode[good] = RESOLVED
+        if over.any():
+            fbv = fbv.copy()
+            fbv[lanes[over]] = True
+        core = dict(core, mode=jnp.asarray(mode),
+                    inj_m=jnp.asarray(inj), fb=jnp.asarray(fbv))
+    final = dict(core, out_qs=oq, out_l=ol)
+    incomplete = final["fb"] | final["active"]
+    return PingPongResult(qs=final["out_qs"], length=final["out_l"],
+                          n_sfs=final["nsfs"],
+                          overflow=final["overflow"],
+                          incomplete=incomplete, iters=final["rounds"])
 
 
 @functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",

@@ -108,3 +108,108 @@ def test_wide_device_repeat_heavy_falls_back():
     e = encode_nt6(chroms["r"][100:500])
     got = _run_device(widx, [e])
     assert got[0] is None
+
+
+def _run_device_waves(widx, encs, cap=128, overlap=-1, park_limit=64):
+    import jax.numpy as jnp
+    from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+    from svdss_tpu.ops.anchor_wide_jax import \
+        batch_search_anchor_wide_waves
+    dev, params = build_device_anchor_wide(widx)
+    resolver = make_heavy_resolver(widx)
+    L = max(len(e) for e in encs)
+    Q = len(encs)
+    seqs = np.zeros((Q, L + 1), dtype=np.uint8)
+    lens = np.zeros(Q, dtype=np.int32)
+    for i, e in enumerate(encs):
+        seqs[i, :len(e)] = e
+        lens[i] = len(e)
+    nwaves = [0]
+
+    def resolve_phases(lanes, ancs, dirbs):
+        nwaves[0] += 1
+        out = np.empty(len(lanes), dtype=np.int32)
+        for j, (ln, a, d) in enumerate(zip(lanes, ancs, dirbs)):
+            out[j] = resolver(encs[ln], int(a),
+                              "left" if d == 1 else "right")
+        return out
+
+    res = batch_search_anchor_wide_waves(
+        dev, params, jnp.asarray(seqs), jnp.asarray(lens),
+        resolve_phases, cap=cap, overlap=overlap, park_limit=park_limit)
+    qs = np.asarray(res.qs)
+    ln = np.asarray(res.length)
+    nn = np.asarray(res.n_sfs)
+    bad = np.asarray(res.incomplete | res.overflow)
+    out = []
+    for i in range(Q):
+        out.append(None if bad[i] else
+                   list(zip(qs[i, :nn[i]].tolist(),
+                            ln[i, :nn[i]].tolist())))
+    return out, nwaves[0]
+
+
+class TestParkedPhaseWaves:
+    """Heavy anchors park for per-phase host resolve instead of failing
+    the whole read — repeat-rich genomes stay device-resident and
+    bit-exact (the round-4 answer to docs/REPEAT_WIDE_r04.json's 96%
+    read-fallback rate)."""
+
+    def _repeat_genome(self, rng):
+        unit = _mk_genome(rng, 600)
+        parts = [_mk_genome(rng, 3_000)]
+        for _ in range(40):
+            c = list(unit)
+            for _ in range(len(c) // 20):       # 5% divergence
+                c[rng.integers(0, len(c))] = "ACGT"[rng.integers(0, 4)]
+            parts.append("".join(c))
+            parts.append(_mk_genome(rng, 800))
+        return {"r": "".join(parts)}
+
+    def test_repeat_genome_stays_resident_and_exact(self):
+        from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+        rng = np.random.default_rng(41)
+        chroms = self._repeat_genome(rng)
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=9, cmax=12)
+        assert widx.heavy_rate > 0.1       # genuinely repeat-heavy
+        encs = _reads(rng, chroms, 40, 1_200)
+        one_shot = _run_device(widx, encs)
+        waved, nwaves = _run_device_waves(widx, encs)
+        n_fb_one = sum(g is None for g in one_shot)
+        n_fb_wav = sum(g is None for g in waved)
+        assert n_fb_one > len(encs) // 2    # per-read fallback storm
+        assert n_fb_wav <= len(encs) // 8   # parking keeps lanes live
+        assert nwaves >= 1
+        resolver = make_heavy_resolver(widx)
+        for e, g in zip(encs, waved):
+            if g is None:
+                continue
+            assert g == anchor_search_wide(widx, e, resolver=resolver)
+
+    def test_park_limit_falls_back_whole_read(self):
+        rng = np.random.default_rng(43)
+        chroms = self._repeat_genome(rng)
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=9, cmax=12)
+        encs = _reads(rng, chroms, 12, 1_000)
+        waved, _ = _run_device_waves(widx, encs, park_limit=1)
+        # limit 1: any read with >1 heavy phase must fall back; output
+        # for the rest is still exact
+        from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+        resolver = make_heavy_resolver(widx)
+        for e, g in zip(encs, waved):
+            if g is None:
+                continue
+            assert g == anchor_search_wide(widx, e, resolver=resolver)
+
+    def test_clean_genome_single_wave(self):
+        rng = np.random.default_rng(47)
+        chroms = {"c": _mk_genome(rng, 60_000)}
+        index = build_index(chroms)
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=10, cmax=24)
+        encs = _reads(rng, chroms, 24, 600)
+        waved, nwaves = _run_device_waves(widx, encs)
+        assert nwaves == 0                 # nothing parks
+        for e, g in zip(encs, waved):
+            if g is None:
+                continue
+            assert g == ping_pong_search(index, e)
