@@ -64,7 +64,11 @@ import numpy as np
 from .anchor import NeedsFallback
 
 WIDE_K = 14
-WIDE_CMAX = 32
+# default prune bound: with suffix-ordered buckets a probe costs
+# O(log cnt), so cmax maximizes device residency on repeat-rich
+# genomes; 254 is the uint8 saturation/leftidx bound (see
+# build_anchor_index_wide). Pre-sorted-bucket builds used 32-44.
+WIDE_CMAX = 254
 
 
 def rc_keys(keys: np.ndarray, k: int) -> np.ndarray:

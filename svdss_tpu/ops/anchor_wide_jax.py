@@ -832,6 +832,89 @@ def _wave_step(index: DeviceAnchorWide, params: WideParams,
     return jax.lax.while_loop(outer_cond, outer_body, (core, oq, ol))
 
 
+class WideWaveRun:
+    """An in-flight parked-phase wide search: construction launches the
+    first device wave asynchronously (JAX dispatch returns immediately,
+    so the caller can pack the next batch while the chip runs);
+    ``finish()`` drives the remaining resolve waves to completion."""
+
+    def __init__(self, index: DeviceAnchorWide, params: WideParams,
+                 seqs: jax.Array, lens: jax.Array, resolve_phases,
+                 cap: int = 128, max_rounds: int = 0, overlap: int = -1,
+                 park_limit: int = 64):
+        Q, Lp1 = seqs.shape
+        if max_rounds == 0:
+            max_rounds = 8 * (Lp1 - 1) + 64
+        seqs_np = np.asarray(seqs)
+        lens_np = np.asarray(lens)
+        inread = np.arange(Lp1)[None, :] < lens_np[:, None]
+        has_bad = (inread & ((seqs_np < 1) | (seqs_np > 4))).any(axis=1)
+        self.index, self.params = index, params
+        self.seqs, self.lens = seqs, jnp.asarray(lens_np)
+        self.resolve_phases = resolve_phases
+        self.cap, self.max_rounds = cap, max_rounds
+        self.overlap, self.park_limit = overlap, park_limit
+        self.parks = np.zeros(Q, dtype=np.int64)
+        self.n_waves = 0
+        core = dict(rounds=jnp.int32(0), stage_at=jnp.int32(0),
+                    **_lane_reset_wide(Q, self.lens,
+                                       jnp.asarray(has_bad)))
+        oq = jnp.zeros((Q, cap), dtype=jnp.int32)
+        ol = jnp.zeros((Q, cap), dtype=jnp.int32)
+        self.state = _wave_step(index, params, self.seqs, self.lens,
+                                core, oq, ol, cap=cap,
+                                max_rounds=max_rounds, overlap=overlap)
+
+    def finish(self) -> PingPongResult:
+        core, oq, ol = self.state
+        while True:
+            mode = np.asarray(core["mode"])
+            act = np.asarray(core["active"])
+            fbv = np.asarray(core["fb"])
+            rounds = int(np.asarray(core["rounds"]))
+            parked = act & ~fbv & (mode == PARKED)
+            lanes = np.flatnonzero(parked)
+            if lanes.size == 0:
+                break
+            if rounds >= self.max_rounds:
+                # round budget exhausted with phases still parked:
+                # those lanes re-run whole on the exact host path
+                fbv = fbv.copy()
+                fbv[lanes] = True
+                core = dict(core, fb=jnp.asarray(fbv))
+                break
+            self.parks[lanes] += 1
+            over = self.parks[lanes] > self.park_limit
+            good = lanes[~over]
+            anc = np.asarray(core["anc"])
+            dirb = np.asarray(core["dirb"])
+            inj = np.asarray(core["inj_m"]).copy()
+            mode = mode.copy()
+            if good.size:
+                self.n_waves += 1
+                inj[good] = self.resolve_phases(good, anc[good],
+                                                dirb[good])
+                mode[good] = RESOLVED
+            if over.any():
+                fbv = fbv.copy()
+                fbv[lanes[over]] = True
+            core = dict(core, mode=jnp.asarray(mode),
+                        inj_m=jnp.asarray(inj), fb=jnp.asarray(fbv))
+            core, oq, ol = _wave_step(self.index, self.params,
+                                      self.seqs, self.lens, core, oq,
+                                      ol, cap=self.cap,
+                                      max_rounds=self.max_rounds,
+                                      overlap=self.overlap)
+        final = dict(core, out_qs=oq, out_l=ol)
+        incomplete = final["fb"] | final["active"]
+        return PingPongResult(qs=final["out_qs"],
+                              length=final["out_l"],
+                              n_sfs=final["nsfs"],
+                              overflow=final["overflow"],
+                              incomplete=incomplete,
+                              iters=final["rounds"])
+
+
 def batch_search_anchor_wide_waves(index: DeviceAnchorWide,
                                    params: WideParams,
                                    seqs: jax.Array, lens: jax.Array,
@@ -849,59 +932,9 @@ def batch_search_anchor_wide_waves(index: DeviceAnchorWide,
     of reads fell back at human repeat densities). A lane parking more
     than park_limit times (satellite-interior reads) falls back whole —
     output stays exact through the host path either way."""
-    Q, Lp1 = seqs.shape
-    if max_rounds == 0:
-        max_rounds = 8 * (Lp1 - 1) + 64
-    seqs_np = np.asarray(seqs)
-    lens_np = np.asarray(lens)
-    inread = np.arange(Lp1)[None, :] < lens_np[:, None]
-    has_bad = (inread & ((seqs_np < 1) | (seqs_np > 4))).any(axis=1)
-    lens_j = jnp.asarray(lens_np)
-    core = dict(rounds=jnp.int32(0), stage_at=jnp.int32(0),
-                **_lane_reset_wide(Q, lens_j, jnp.asarray(has_bad)))
-    oq = jnp.zeros((Q, cap), dtype=jnp.int32)
-    ol = jnp.zeros((Q, cap), dtype=jnp.int32)
-    parks = np.zeros(Q, dtype=np.int64)
-    while True:
-        core, oq, ol = _wave_step(index, params, seqs, lens_j, core,
-                                  oq, ol, cap=cap,
-                                  max_rounds=max_rounds, overlap=overlap)
-        mode = np.asarray(core["mode"])
-        act = np.asarray(core["active"])
-        fbv = np.asarray(core["fb"])
-        rounds = int(np.asarray(core["rounds"]))
-        parked = act & ~fbv & (mode == PARKED)
-        lanes = np.flatnonzero(parked)
-        if lanes.size == 0:
-            break
-        if rounds >= max_rounds:
-            # round budget exhausted with phases still parked: those
-            # lanes re-run whole on the exact host path
-            fbv = fbv.copy()
-            fbv[lanes] = True
-            core = dict(core, fb=jnp.asarray(fbv))
-            break
-        parks[lanes] += 1
-        over = parks[lanes] > park_limit
-        good = lanes[~over]
-        anc = np.asarray(core["anc"])
-        dirb = np.asarray(core["dirb"])
-        inj = np.asarray(core["inj_m"]).copy()
-        mode = mode.copy()
-        if good.size:
-            inj[good] = resolve_phases(good, anc[good], dirb[good])
-            mode[good] = RESOLVED
-        if over.any():
-            fbv = fbv.copy()
-            fbv[lanes[over]] = True
-        core = dict(core, mode=jnp.asarray(mode),
-                    inj_m=jnp.asarray(inj), fb=jnp.asarray(fbv))
-    final = dict(core, out_qs=oq, out_l=ol)
-    incomplete = final["fb"] | final["active"]
-    return PingPongResult(qs=final["out_qs"], length=final["out_l"],
-                          n_sfs=final["nsfs"],
-                          overflow=final["overflow"],
-                          incomplete=incomplete, iters=final["rounds"])
+    return WideWaveRun(index, params, seqs, lens, resolve_phases,
+                       cap=cap, max_rounds=max_rounds, overlap=overlap,
+                       park_limit=park_limit).finish()
 
 
 @functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",

@@ -129,7 +129,8 @@ def shard_anchor_wide_inputs(mesh: Mesh, index, seqs, lens,
         pospairs=jax.device_put(index.pospairs, repl),
         bms=jax.device_put(index.bms, repl),
         text2=jax.device_put(index.text2, repl),
-        badrow=jax.device_put(index.badrow, repl))
+        badrow=jax.device_put(index.badrow, repl),
+        lperm=jax.device_put(index.lperm, repl))
     seqs = jax.device_put(seqs, shard)
     lens = jax.device_put(lens, shard)
     return index, seqs, lens

@@ -169,23 +169,31 @@ class _DeviceSearcher:
         use_anchor = anchor is not None and (
             config.engine == "anchor"
             or (config.engine == "auto" and index.n >= (1 << 26)))
-        # repeat profile gate: on repeat-rich genomes a large fraction
-        # of anchor phases is over-cmax (heavy), and since ANY heavy
-        # phase sends its whole read to the exact host path, device
-        # residency collapses (docs/REPEAT_WIDE_r04.json: 21% of phases
-        # heavy at human-like repeat densities). The build stores the
-        # position-weighted heavy rate; engine=auto declines the anchor
-        # engine past 5% and logs the reasoning (--engine anchor
-        # forces it; the per-phase host-resolve queue is the tracked
-        # fix, docs/ARCHITECTURE.md)
+        # repeat profile gate: on repeat-rich genomes a fraction of
+        # anchor phases is over-cmax (heavy). With a heavy store in the
+        # tables those phases PARK for per-phase host resolve (the lane
+        # resumes — docs/REPEAT_WIDE_r04.json's 96% read-fallback storm
+        # is gone), so the gate only declines when the host would
+        # co-process most phases (satellite-dominated genomes, > 25%
+        # heavy). Legacy tables without the store still fall back per
+        # READ, so they keep the strict 5% gate. --engine anchor forces.
         hr = getattr(anchor, "heavy_rate", -1.0) if anchor is not None \
             else -1.0
-        if use_anchor and config.engine == "auto" and hr > 0.05:
+        self.heavy_resolver = None
+        if anchor is not None:
+            from ..ops.anchor_wide import AnchorIndexWide, \
+                make_heavy_resolver
+            if isinstance(anchor, AnchorIndexWide):
+                self.heavy_resolver = make_heavy_resolver(anchor)
+        hr_gate = 0.25 if self.heavy_resolver is not None else 0.05
+        if use_anchor and config.engine == "auto" and hr > hr_gate:
             logger.warning(
                 "search: anchor tables report %.1f%% phase-heavy rate "
-                "(repeat-rich genome) — most reads would fall back; "
-                "using the FM device engine instead (--engine anchor "
-                "to override)", 100 * hr)
+                "(repeat-rich genome) — %s; using the FM device engine "
+                "instead (--engine anchor to override)", 100 * hr,
+                "even per-phase host resolve would dominate"
+                if self.heavy_resolver is not None else
+                "most reads would fall back")
             use_anchor = False
         self.wide = False
         if use_anchor:
@@ -276,11 +284,32 @@ class _DeviceSearcher:
         # lanes into the host path (the round-3 30kb regression)
         cap = max(self.cap, L // 16)
         if self.anchor is not None and self.wide:
-            from ..ops.anchor_wide_jax import batch_search_anchor_wide
-            res = batch_search_anchor_wide(self.anchor,
-                                           self.anchor_params,
-                                           seqs, lens, cap=cap,
-                                           overlap=self.config.overlap)
+            if self.heavy_resolver is not None:
+                # parked-phase waves: heavy anchors resolve per PHASE on
+                # the host from the heavy store; construction launches
+                # wave 1 async, collect() drives the rest
+                from ..ops.anchor_wide_jax import WideWaveRun
+                resolver = self.heavy_resolver
+
+                def resolve_phases(lanes, ancs, dirbs,
+                                   _encs=padded):
+                    out = np.empty(len(lanes), dtype=np.int32)
+                    for j, (ln, a, d) in enumerate(
+                            zip(lanes, ancs, dirbs)):
+                        out[j] = resolver(_encs[ln], int(a),
+                                          "left" if d == 1 else "right")
+                    return out
+
+                res = WideWaveRun(self.anchor, self.anchor_params,
+                                  seqs, lens, resolve_phases, cap=cap,
+                                  overlap=self.config.overlap)
+            else:
+                from ..ops.anchor_wide_jax import \
+                    batch_search_anchor_wide
+                res = batch_search_anchor_wide(self.anchor,
+                                               self.anchor_params,
+                                               seqs, lens, cap=cap,
+                                               overlap=self.config.overlap)
         elif self.anchor is not None:
             from ..ops.anchor_jax import batch_search_anchor
             res = batch_search_anchor(self.anchor, self.anchor_params,
@@ -319,6 +348,9 @@ class _DeviceSearcher:
         encoded, res = handle
         if res is None:
             return ([], None) if defer_redo else []
+        from ..ops.anchor_wide_jax import WideWaveRun
+        if isinstance(res, WideWaveRun):
+            res = res.finish()
         n_sfs = np.asarray(res.n_sfs)
         qs = np.asarray(res.qs)
         ln = np.asarray(res.length)

@@ -158,3 +158,27 @@ def test_engine_auto_declines_anchor_on_repeat_heavy_genome(tmp_path):
     cfg2 = Config(engine="anchor", use_device=True)
     s2 = _DeviceSearcher(index, cfg2, anchor=aidx)
     assert s2.anchor is not None                    # forced override
+
+
+def test_search_wide_waves_park_and_resolve(pipeline_data):
+    # cmax low enough that many anchors are heavy: lanes PARK, phases
+    # resolve on the host from the heavy store, output still == host
+    import numpy as np
+    from svdss_tpu.ops.anchor_wide import build_anchor_index_wide
+    from svdss_tpu.utils.seq import encode_nt6
+    chroms, hap1, smoothed, index, _ = pipeline_data
+    parts = []
+    for seq in chroms.values():
+        parts.append(encode_nt6(seq))
+        parts.append(np.zeros(1, dtype=np.uint8))
+    widx = build_anchor_index_wide(np.concatenate(parts[:-1]), k=8,
+                                   cmax=4)
+    assert widx.heavy_rate > 0.02
+    host_groups = run_search(Config(use_device=False), index, bam=smoothed)
+    host_norm = [(q, [(s.qs, s.l, s.htag) for s in g])
+                 for q, g in host_groups]
+    a_groups = run_search(Config(use_device=True, lanes=16,
+                                 max_sfs_per_read=128, engine="anchor"),
+                          index, bam=smoothed, anchor=widx)
+    assert [(q, [(s.qs, s.l, s.htag) for s in g])
+            for q, g in a_groups] == host_norm

@@ -94,15 +94,20 @@ def build_repeat_genome(rng: np.random.Generator, n: int,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fwd-mbp", type=int, default=1200)
-    ap.add_argument("--cmax", type=int, default=44)
+    ap.add_argument("--cmax", type=int, default=254)
     ap.add_argument("--reads", type=int, default=2048)
     ap.add_argument("--read-len", type=int, default=10_000)
     ap.add_argument("--sample-phases", type=int, default=200_000)
     ap.add_argument("--verify", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--driver", choices=("waves", "oneshot"),
+                    default="waves",
+                    help="waves = parked-phase host resolve (production"
+                         " since round 4); oneshot = per-read fallback")
     ap.add_argument("--out", default="docs/REPEAT_WIDE_r04.json")
     args = ap.parse_args()
-    out = {"fwd_mbp": args.fwd_mbp, "cmax": args.cmax}
+    out = {"fwd_mbp": args.fwd_mbp, "cmax": args.cmax,
+           "driver": args.driver}
 
     from svdss_tpu.ops.anchor_wide import (anchor_search_wide,
                                            build_anchor_index_wide,
@@ -184,23 +189,59 @@ def main() -> int:
     seqs_j = jnp.asarray(reads)
     lens_j = jnp.asarray(lens)
     cap = max(512, (L + 1) // 16)
+    if args.driver == "waves":
+        from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+        from svdss_tpu.ops.anchor_wide_jax import \
+            batch_search_anchor_wide_waves
+        resolver = make_heavy_resolver(widx)
+        assert resolver is not None, "tables lack the heavy store"
+        stats = {"waves": 0, "phases": 0, "host_s": 0.0}
+
+        def resolve_phases(lns, ancs, dirbs):
+            th = time.time()
+            stats["waves"] += 1
+            stats["phases"] += len(lns)
+            mm = np.empty(len(lns), dtype=np.int32)
+            for j, (lnn, a, d) in enumerate(zip(lns, ancs, dirbs)):
+                mm[j] = resolver(reads[lnn, :L], int(a),
+                                 "left" if d == 1 else "right")
+            stats["host_s"] += time.time() - th
+            return mm
+
+        def run():
+            return batch_search_anchor_wide_waves(
+                didx, params, seqs_j, lens_j, resolve_phases, cap=cap)
+    else:
+        def run():
+            return batch_search_anchor_wide(didx, params, seqs_j,
+                                            lens_j, cap=cap)
     t0 = time.time()
-    res = batch_search_anchor_wide(didx, params, seqs_j, lens_j, cap=cap)
+    res = run()
     np.asarray(res.n_sfs)
     out["warm_s"] = round(time.time() - t0, 1)
+    if args.driver == "waves":
+        stats.update(waves=0, phases=0, host_s=0.0)
     t0 = time.time()
-    res = batch_search_anchor_wide(didx, params, seqs_j, lens_j, cap=cap)
+    res = run()
     bad = np.asarray(res.incomplete | res.overflow)
     t_dev = time.time() - t0
+    if args.driver == "waves":
+        out["resolve_waves"] = stats["waves"]
+        out["resolved_phases"] = stats["phases"]
+        out["host_resolve_s"] = round(stats["host_s"], 2)
     out["device_search_s"] = round(t_dev, 2)
     out["fallback_reads"] = int(bad.sum())
     out["fallback_rate"] = round(float(bad.mean()), 4)
-    # exact host re-run of fallbacks (production semantics)
+    # exact host re-run of fallbacks (production semantics); the heavy
+    # store's resolver keeps the wide oracle exact on heavy reads
+    from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+    host_res = make_heavy_resolver(widx)
     t0 = time.time()
     n_redo_sfs = 0
     for i in np.nonzero(bad)[0]:
         try:
-            n_redo_sfs += len(anchor_search_wide(widx, reads[i, :L]))
+            n_redo_sfs += len(anchor_search_wide(widx, reads[i, :L],
+                                                 resolver=host_res))
         except Exception:
             n_redo_sfs += 0            # host oracle itself falls back
     out["host_redo_s"] = round(time.time() - t0, 2)
@@ -222,7 +263,8 @@ def main() -> int:
         if bad[i]:
             continue
         try:
-            want = anchor_search_wide(widx, reads[i, :L])
+            want = anchor_search_wide(widx, reads[i, :L],
+                                      resolver=host_res)
         except Exception:
             continue
         checked += 1
