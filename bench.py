@@ -389,8 +389,31 @@ def main() -> int:
         from svdss_tpu.ops.pingpong_jax import batch_search
         check(batch_search(dev_index, seqs_j, lens_j, cap=512,
                            **jump_kw))
+        # the WIDE engine (sorted binary probes + parked-phase waves)
+        # on a small slice of the same genome, vs the same host truth
+        from svdss_tpu.ops.anchor_wide import (build_anchor_index_wide,
+                                               make_heavy_resolver)
+        from svdss_tpu.ops.anchor_wide_jax import (
+            build_device_anchor_wide, batch_search_anchor_wide_waves)
+        from svdss_tpu.utils.seq import encode_nt6
+        widx = build_anchor_index_wide(
+            encode_nt6(genome_arr.tobytes().decode()), cmax=254)
+        wdev, wparams = build_device_anchor_wide(widx)
+        wres = make_heavy_resolver(widx)
+
+        def wide_resolve(lanes_, ancs, dirbs):
+            return np.array(
+                [wres(reads[ln, :lens[ln]], int(a),
+                      "left" if d == 1 else "right")
+                 for ln, a, d in zip(lanes_, ancs, dirbs)],
+                dtype=np.int32)
+
+        check(batch_search_anchor_wide_waves(
+            wdev, wparams, seqs_j, lens_j, wide_resolve,
+            cap=max(512, reads.shape[1] // 16)))
         print(f"[bench] on-chip parity smoke: {smoke_checked} lanes "
-              f"checked, {'ok' if smoke_ok else 'MISMATCH'}",
+              f"checked (incl wide waves), "
+              f"{'ok' if smoke_ok else 'MISMATCH'}",
               file=sys.stderr)
     except Exception as e:                          # pragma: no cover
         smoke_ok = False

@@ -135,6 +135,8 @@ def build_device_anchor_wide(widx: AnchorIndexWide
                              ) -> Tuple[DeviceAnchorWide, WideParams]:
     k, j0 = widx.k, widx.j0
     pl = widx.poslist
+    if len(pl) == 0:          # gathers need a non-empty operand
+        pl = np.zeros(2, dtype=np.uint32)
     if len(pl) % 2:
         pl = np.concatenate([pl, np.zeros(1, dtype=pl.dtype)])
     bm_parts = []
@@ -157,6 +159,8 @@ def build_device_anchor_wide(widx: AnchorIndexWide
         if pad:
             li = np.concatenate([li, np.zeros(pad, dtype=np.uint8)])
         lperm = li.view(np.int32)
+        if len(lperm) == 0:
+            lperm = np.zeros(1, dtype=np.int32)
     else:
         lperm = np.zeros(1, dtype=np.int32)
     dev = DeviceAnchorWide(
