@@ -112,3 +112,78 @@ def test_bgzf_empty_and_tiny(tmp_path):
     with BgzfWriter(str(p2)) as w:
         w.write(b"x")
     assert BgzfReader(str(p2)).read() == b"x"
+
+
+def test_wide_sorted_wave_engine_fuzz():
+    """Randomized genomes (unique + tandem + dispersed-repeat mixes,
+    random k/cmax) through the sorted binary-probe wave engine vs the
+    FM ping-pong oracle — every completed lane must be bit-identical."""
+    import jax.numpy as jnp
+    from svdss_tpu.index.fmd import build_index
+    from svdss_tpu.ops.anchor_wide import (build_anchor_index_wide,
+                                           make_heavy_resolver)
+    from svdss_tpu.ops.anchor_wide_jax import (
+        build_device_anchor_wide, batch_search_anchor_wide_waves)
+    from svdss_tpu.ops.pingpong_host import ping_pong_search
+    from svdss_tpu.utils.seq import encode_nt6
+
+    rng = np.random.default_rng(20260821)
+    checked = 0
+    for trial in range(4):
+        k = int(rng.integers(8, 11))
+        cmax = int(rng.integers(6, 40))
+        unit = "".join("ACGT"[i] for i in rng.integers(0, 4, 
+                       int(rng.integers(50, 400))))
+        uniq = "".join("ACGT"[i] for i in rng.integers(0, 4, 25_000))
+        copies = []
+        for _ in range(int(rng.integers(5, 30))):
+            c = list(unit)
+            for _ in range(max(1, len(c) // 25)):
+                c[rng.integers(0, len(c))] = "ACGT"[rng.integers(0, 4)]
+            copies.append("".join(c))
+        genome = {"g": uniq[:12_000] + "".join(copies) + uniq[12_000:]}
+        index = build_index(genome)
+        widx = build_anchor_index_wide(encode_nt6(genome["g"]), k=k,
+                                       cmax=cmax)
+        dev, params = build_device_anchor_wide(widx)
+        resolver = make_heavy_resolver(widx)
+        g = genome["g"]
+        encs = []
+        for i in range(24):
+            L = int(rng.integers(150, 900))
+            at = int(rng.integers(0, len(g) - L))
+            s = list(g[at:at + L])
+            for _ in range(int(rng.integers(0, 6))):
+                s[rng.integers(0, L)] = "ACGT"[rng.integers(0, 4)]
+            seq = "".join(s)
+            if i % 4 == 0:
+                seq = "".join("TGCA"["ACGT".index(c)]
+                              for c in reversed(seq))
+            encs.append(encode_nt6(seq))
+        W = max(len(e) for e in encs) + 1
+        seqs = np.zeros((len(encs), W), dtype=np.uint8)
+        lens = np.array([len(e) for e in encs], dtype=np.int32)
+        for i, e in enumerate(encs):
+            seqs[i, :len(e)] = e
+
+        def resolve_phases(lanes, ancs, dirbs):
+            return np.array(
+                [resolver(encs[ln], int(a), "left" if d == 1 else "right")
+                 for ln, a, d in zip(lanes, ancs, dirbs)],
+                dtype=np.int32)
+
+        res = batch_search_anchor_wide_waves(
+            dev, params, jnp.asarray(seqs), jnp.asarray(lens),
+            resolve_phases, cap=256)
+        bad = np.asarray(res.incomplete | res.overflow)
+        qs = np.asarray(res.qs)
+        ln = np.asarray(res.length)
+        nn = np.asarray(res.n_sfs)
+        for i, e in enumerate(encs):
+            if bad[i]:
+                continue
+            want = ping_pong_search(index, e)
+            got = list(zip(qs[i, :nn[i]].tolist(), ln[i, :nn[i]].tolist()))
+            assert got == want, (trial, k, cmax, i)
+            checked += 1
+    assert checked > 40

@@ -146,8 +146,16 @@ def main() -> int:
         print(f"[wide] forward text {len(text)} symbols "
               f"({2 * len(text)} two-strand)", flush=True)
         t0 = time.time()
+        # sorted (binary-probe) tables add 1 B/poslist-entry of leftidx;
+        # at 3.1G forward symbols that pushes device tables past one
+        # v5e's 16 GB HBM (ARCHITECTURE.md), so the 6.2G run keeps the
+        # pair-verify format and relies on the heavy store + parked
+        # waves only. SVDSS_GIANT_SORT=1 forces sorted tables (for
+        # smaller --chrom-mbp sweeps that fit).
+        sort_ok = bool(os.environ.get("SVDSS_GIANT_SORT")) or \
+            len(text) <= 2_000_000_000
         widx = build_anchor_index_wide(
-            text, cmax=args.cmax,
+            text, cmax=args.cmax, sort_buckets=sort_ok,
             log=lambda m: print(f"[wide-build] {m} "
                                 f"({time.time()-t0:.0f}s, RSS "
                                 f"{rss_gb():.1f} GB)", flush=True))
