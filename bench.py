@@ -390,14 +390,18 @@ def main() -> int:
         check(batch_search(dev_index, seqs_j, lens_j, cap=512,
                            **jump_kw))
         # the WIDE engine (sorted binary probes + parked-phase waves)
-        # on a small slice of the same genome, vs the same host truth
-        from svdss_tpu.ops.anchor_wide import (build_anchor_index_wide,
+        # over a 4 Mbp slice of the genome (k and meta stay small, the
+        # upload is seconds on any link); truth is the wide host
+        # oracle + heavy resolver, itself FM-pinned in tests/
+        from svdss_tpu.ops.anchor_wide import (anchor_search_wide,
+                                               build_anchor_index_wide,
                                                make_heavy_resolver)
         from svdss_tpu.ops.anchor_wide_jax import (
             build_device_anchor_wide, batch_search_anchor_wide_waves)
         from svdss_tpu.utils.seq import encode_nt6
-        widx = build_anchor_index_wide(
-            encode_nt6(genome_arr.tobytes().decode()), cmax=254)
+        slice_nt6 = encode_nt6(
+            genome_arr[:4_000_000].tobytes().decode())
+        widx = build_anchor_index_wide(slice_nt6, cmax=254)
         wdev, wparams = build_device_anchor_wide(widx)
         wres = make_heavy_resolver(widx)
 
@@ -408,9 +412,23 @@ def main() -> int:
                  for ln, a, d in zip(lanes_, ancs, dirbs)],
                 dtype=np.int32)
 
-        check(batch_search_anchor_wide_waves(
+        wres_dev = batch_search_anchor_wide_waves(
             wdev, wparams, seqs_j, lens_j, wide_resolve,
-            cap=max(512, reads.shape[1] // 16)))
+            cap=max(512, reads.shape[1] // 16))
+        wbad = np.asarray(wres_dev.incomplete | wres_dev.overflow)[:ns]
+        wqs = np.asarray(wres_dev.qs)[:ns]
+        wln = np.asarray(wres_dev.length)[:ns]
+        wnn = np.asarray(wres_dev.n_sfs)[:ns]
+        for i in range(ns):
+            if wbad[i]:
+                continue
+            wide_want = anchor_search_wide(widx, reads[i, :lens[i]],
+                                           resolver=wres)
+            got = list(zip(wqs[i, :wnn[i]].tolist(),
+                           wln[i, :wnn[i]].tolist()))
+            smoke_checked += 1
+            if got != wide_want:
+                smoke_ok = False
         print(f"[bench] on-chip parity smoke: {smoke_checked} lanes "
               f"checked (incl wide waves), "
               f"{'ok' if smoke_ok else 'MISMATCH'}",
