@@ -70,6 +70,39 @@ struct LessLeft {
     }
 };
 
+// RAW-byte comparators for the host-only heavy store: the resolver's
+// binary search must agree with the oracle's N-matching semantics
+// (raw equality is the match predicate), so heavy buckets sort on the
+// raw nt6 byte values, not the 2-bit classes.
+struct LessRightRaw {
+    const uint8_t *text;
+    int64_t n;
+    int k;
+    bool operator()(uint32_t a, uint32_t b) const {
+        int64_t pa = (int64_t)a + k, pb = (int64_t)b + k;
+        for (;;) {
+            if (pa >= n) return true;
+            if (pb >= n) return false;
+            if (text[pa] != text[pb]) return text[pa] < text[pb];
+            ++pa; ++pb;
+        }
+    }
+};
+
+struct LessLeftRaw {
+    const uint8_t *text;
+    const uint32_t *pos;
+    bool operator()(uint32_t ia, uint32_t ib) const {
+        int64_t pa = (int64_t)pos[ia] - 1, pb = (int64_t)pos[ib] - 1;
+        for (;;) {
+            if (pa < 0) return true;
+            if (pb < 0) return false;
+            if (text[pa] != text[pb]) return text[pa] < text[pb];
+            --pa; --pb;
+        }
+    }
+};
+
 }  // namespace
 
 extern "C" {
@@ -157,6 +190,45 @@ void svdss_wide_sort(const uint8_t *text, int64_t n, int k,
                 uint8_t *lout = leftidx + aux[key];
                 for (int i = 0; i < c; ++i) lout[i] = idx[i];
             }
+        }
+    };
+    const int nt = threads < 1 ? 1 : threads;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto &t : pool) t.join();
+}
+
+// Sort the host-only heavy store: each pruned bucket's slice of
+// heavy_poslist goes to right-suffix order (RAW nt6 byte comparator)
+// and heavy_leftperm[off+m] gets the bucket-local index of the m-th
+// entry in left order. Buckets run to millions of entries (satellite
+// arrays) — a thread pool walks them by index.
+void svdss_wide_sort_heavy(const uint8_t *text, int64_t n, int k,
+                           const int64_t *heavy_keys,
+                           const int64_t *heavy_offs, int64_t nh,
+                           uint32_t *heavy_poslist,
+                           uint32_t *heavy_leftperm, int threads) {
+    (void)heavy_keys;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        std::vector<uint32_t> idx;
+        for (;;) {
+            const int64_t h = next.fetch_add(1);
+            if (h >= nh) return;
+            const int64_t o0 = heavy_offs[h], o1 = heavy_offs[h + 1];
+            const int64_t c = o1 - o0;
+            if (c < 2) {
+                if (c == 1) heavy_leftperm[o0] = 0;
+                continue;
+            }
+            uint32_t *bucket = heavy_poslist + o0;
+            std::sort(bucket, bucket + c, LessRightRaw{text, n, k});
+            idx.resize(c);
+            for (int64_t i = 0; i < c; ++i) idx[i] = (uint32_t)i;
+            std::sort(idx.begin(), idx.end(), LessLeftRaw{text, bucket});
+            uint32_t *lout = heavy_leftperm + o0;
+            for (int64_t i = 0; i < c; ++i) lout[i] = idx[i];
         }
     };
     const int nt = threads < 1 ? 1 : threads;

@@ -115,6 +115,12 @@ class AnchorIndexWide:
     heavy_keys: Optional[np.ndarray] = None  # sorted int64 pruned keys
     heavy_offs: Optional[np.ndarray] = None  # int64 [nh+1] prefix offsets
     heavy_poslist: Optional[np.ndarray] = None  # uint32 pruned positions
+    # host-only heavy bucket ORDER (raw-nt6-byte comparator — exact for
+    # the oracle's N-matching semantics, unlike the device buckets'
+    # 2-bit class order): heavy_poslist right-sorted per bucket, with
+    # heavy_leftperm[off+m] = bucket-local index of the m-th entry in
+    # left order. None on stores built before the sorted resolver.
+    heavy_leftperm: Optional[np.ndarray] = None  # uint32
 
     @property
     def n(self) -> int:
@@ -176,6 +182,8 @@ class AnchorIndexWide:
             extra["heavy_keys"] = self.heavy_keys
             extra["heavy_offs"] = self.heavy_offs
             extra["heavy_poslist"] = self.heavy_poslist
+        if self.heavy_leftperm is not None:
+            extra["heavy_leftperm"] = self.heavy_leftperm
         np.savez(path, text=self.text, cnts=self.cnts, aux=self.aux,
                  poslist=self.poslist, cmax=np.int32(self.cmax),
                  heavy_rate=np.float64(self.heavy_rate),
@@ -190,7 +198,8 @@ class AnchorIndexWide:
         levels = {int(j): np.asarray(z[f"level_{int(j)}"])
                   for j in z["level_js"]}
         opt = {name: np.asarray(z[name]) for name in
-               ("leftidx", "heavy_keys", "heavy_offs", "heavy_poslist")
+               ("leftidx", "heavy_keys", "heavy_offs", "heavy_poslist",
+                "heavy_leftperm")
                if name in z.files}
         return cls(text=np.asarray(z["text"]), k=int(z["k"]),
                    j0=int(z["j0"]), cnts=np.asarray(z["cnts"]),
@@ -512,6 +521,7 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
         heavy_poslist = None
 
     leftidx = None
+    heavy_leftperm = None
     if sort_buckets:
         if lib is not None and hasattr(lib, "svdss_wide_sort"):
             leftidx = np.zeros(np_total, dtype=np.uint8)
@@ -526,13 +536,40 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
             leftidx = _sort_buckets_numpy(text, k, aux, cnts_full, keep,
                                           poslist)
         say("buckets sorted (right order + leftidx)")
+        if nh_total:
+            # heavy buckets sort by RAW nt6 bytes (the host resolver's
+            # binary search must agree with the oracle's N-matching
+            # semantics; the device buckets' 2-bit class order is safe
+            # only because device probes touching non-ACGT rows fall
+            # back — the host resolver has no such escape)
+            heavy_leftperm = np.zeros(nh_total, dtype=np.uint32)
+            if lib is not None and hasattr(lib, "svdss_wide_sort_heavy"):
+                lib.svdss_wide_sort_heavy(
+                    text.ctypes.data, n, k, heavy_keys.ctypes.data,
+                    heavy_offs.ctypes.data, len(heavy_keys),
+                    heavy_poslist.ctypes.data,
+                    heavy_leftperm.ctypes.data, 2)
+            else:
+                for hi_ in range(len(heavy_keys)):
+                    o0 = int(heavy_offs[hi_])
+                    o1 = int(heavy_offs[hi_ + 1])
+                    sl = heavy_poslist[o0:o1].astype(np.int64)
+                    ro = _bucket_order(text, sl + k, +1)
+                    sl = sl[ro]
+                    heavy_poslist[o0:o1] = sl.astype(np.uint32)
+                    lo_ = _bucket_order(text, sl - 1, -1)
+                    heavy_leftperm[o0:o1] = lo_.astype(np.uint32)
+            say("heavy store sorted (raw-byte order)")
+        elif keep_heavy:
+            heavy_leftperm = np.zeros(0, dtype=np.uint32)
 
     cnts = np.minimum(cnts_full, 255).astype(np.uint8)
     return AnchorIndexWide(text=text, k=k, j0=j0, cnts=cnts, aux=aux,
                            poslist=poslist, levels=levels, cmax=cmax,
                            heavy_rate=heavy_rate, leftidx=leftidx,
                            heavy_keys=heavy_keys, heavy_offs=heavy_offs,
-                           heavy_poslist=heavy_poslist)
+                           heavy_poslist=heavy_poslist,
+                           heavy_leftperm=heavy_leftperm)
 
 
 # ------------------------------------------------------------- host search
@@ -591,16 +628,104 @@ def _max_ext_vec(T: np.ndarray, occ: np.ndarray, Pw: np.ndarray,
     return best
 
 
+def _bin_max_ext(T: np.ndarray, bucket: np.ndarray,
+                 perm: Optional[np.ndarray], Pw: np.ndarray, cap: int,
+                 step: int, t0_off: int) -> int:
+    """Max extension over a RAW-byte-ordered heavy bucket by binary
+    search (suffix-array insertion argument: the probe path's max LCP
+    with the query is the bucket max). bucket is right-ordered; pass
+    perm (the left-order inverse permutation) for leftward extensions.
+    Exactness relies on the order's comparator being raw equality —
+    the same predicate as the oracle's match rules, N included."""
+    n = len(T)
+    c = len(bucket)
+    if cap <= 0 or c == 0:
+        return 0
+    bad = np.flatnonzero(Pw[:cap] < 0)
+    ecut = int(bad[0]) if len(bad) else cap
+    if ecut == 0:
+        return 0
+    Pq = Pw[:ecut].astype(np.int16)
+    lo, hi = 0, c
+    best = 0
+    CH = 64
+    while lo < hi:
+        mid = (lo + hi) >> 1
+        i = int(perm[mid]) if perm is not None else mid
+        p = int(bucket[i])
+        d = 0
+        lt = True
+        while True:
+            w = min(CH, ecut - d)
+            if w <= 0:
+                d = ecut          # query exhausted: full-length match
+                break
+            ps = p + t0_off + step * d
+            if step > 0:
+                seg = T[ps:ps + w] if 0 <= ps < n else T[:0]
+            else:
+                seg = (T[max(ps - (w - 1), 0):ps + 1][::-1]
+                       if ps >= 0 else T[:0])
+            m = len(seg)
+            q = Pq[d:d + m]
+            neq = np.flatnonzero(seg != q)
+            if len(neq):
+                j = int(neq[0])
+                d += j
+                lt = bool(int(seg[j]) < int(q[j]))
+                break
+            d += m
+            if m < w:             # text boundary: run sorts smaller
+                lt = True
+                break
+        best = max(best, d)
+        if best >= ecut:
+            return min(best, cap)
+        if lt:
+            lo = mid + 1
+        else:
+            hi = mid
+    return min(best, cap)
+
+
 def make_heavy_resolver(idx: AnchorIndexWide) -> Optional[Resolver]:
     """Exact heavy-phase resolver backed by the host-only heavy store —
     the per-phase answer for k-mers pruned from the device poslist
     (no FM index required). Returns None on legacy artifacts without
     the store. Semantics match ms_left_wide / fms_right_wide's
-    extension loops symbol for symbol."""
+    extension loops symbol for symbol. Heavy buckets resolve by binary
+    search over the store's raw-byte order when present (O(log cnt)
+    text compares — satellite mega-buckets answer in microseconds);
+    linear vectorized scan otherwise."""
     if idx.heavy_keys is None:
         return None
     T = idx.text
     k = idx.k
+
+    def side_ext(key: int, Pw: np.ndarray, cap: int, step: int,
+                 t0_off: int) -> int:
+        c = int(idx.cnts[key])
+        if c == 0 or cap <= 0:
+            return 0
+        if c == 1:
+            return _max_ext_vec(T, np.array([idx.aux[key]],
+                                            dtype=np.uint32),
+                                Pw, cap, step, t0_off)
+        off = int(idx.aux[key])
+        if off != 0xFFFFFFFF:      # kept bucket (<= cmax): linear scan
+            return _max_ext_vec(T, idx.poslist[off:off + c], Pw, cap,
+                                step, t0_off)
+        hi_ = int(np.searchsorted(idx.heavy_keys, key))
+        if hi_ >= len(idx.heavy_keys) or \
+                int(idx.heavy_keys[hi_]) != key:
+            return 0
+        o0 = int(idx.heavy_offs[hi_])
+        o1 = int(idx.heavy_offs[hi_ + 1])
+        bucket = idx.heavy_poslist[o0:o1]
+        if idx.heavy_leftperm is None:
+            return _max_ext_vec(T, bucket, Pw, cap, step, t0_off)
+        perm = idx.heavy_leftperm[o0:o1] if step < 0 else None
+        return _bin_max_ext(T, bucket, perm, Pw, cap, step, t0_off)
 
     def resolver(P: np.ndarray, pos: int, direction: str) -> int:
         P = np.asarray(P, dtype=np.uint8)
@@ -618,12 +743,10 @@ def make_heavy_resolver(idx: AnchorIndexWide) -> Optional[Resolver]:
             # complemented read symbols (match requires 1<=P<=4)
             wb = 5 - Pi[r - k::-1][:cap] if r - k >= 0 else Pi[:0]
             wb = np.where((wb >= 1) & (wb <= 4), wb, -1)
-            best = _max_ext_vec(T, idx.all_occurrences(key), wa, cap,
-                                -1, -1)
+            best = side_ext(key, wa, cap, -1, -1)
             if best < cap:
                 rkey = rc_key_scalar(key, k)
-                best = max(best, _max_ext_vec(
-                    T, idx.all_occurrences(rkey), wb, cap, +1, k))
+                best = max(best, side_ext(rkey, wb, cap, +1, k))
             return k + best
         b = pos
         l = len(P)
@@ -634,11 +757,10 @@ def make_heavy_resolver(idx: AnchorIndexWide) -> Optional[Resolver]:
         wa = np.where(wa == 0, -1, wa)
         wb = 5 - Pi[b + k:b + k + cap]
         wb = np.where((wb >= 1) & (wb <= 4), wb, -1)
-        best = _max_ext_vec(T, idx.all_occurrences(key), wa, cap, +1, k)
+        best = side_ext(key, wa, cap, +1, k)
         if best < cap:
             rkey = rc_key_scalar(key, k)
-            best = max(best, _max_ext_vec(
-                T, idx.all_occurrences(rkey), wb, cap, -1, -1))
+            best = max(best, side_ext(rkey, wb, cap, -1, -1))
         return k + best
 
     return resolver

@@ -845,7 +845,7 @@ class WideWaveRun:
     def __init__(self, index: DeviceAnchorWide, params: WideParams,
                  seqs: jax.Array, lens: jax.Array, resolve_phases,
                  cap: int = 128, max_rounds: int = 0, overlap: int = -1,
-                 park_limit: int = 64):
+                 park_limit: int = 16):
         Q, Lp1 = seqs.shape
         if max_rounds == 0:
             max_rounds = 8 * (Lp1 - 1) + 64
@@ -872,10 +872,19 @@ class WideWaveRun:
     def finish(self) -> PingPongResult:
         core, oq, ol = self.state
         while True:
-            mode = np.asarray(core["mode"])
-            act = np.asarray(core["active"])
-            fbv = np.asarray(core["fb"])
-            rounds = int(np.asarray(core["rounds"]))
+            # ONE device->host pull per wave (each np.asarray on a
+            # separate device array costs a full link RTT — at 25 ms
+            # that was most of the wave overhead)
+            snap = np.asarray(jnp.stack([
+                core["mode"], core["anc"], core["dirb"], core["inj_m"],
+                core["fb"].astype(jnp.int32),
+                core["active"].astype(jnp.int32),
+                jnp.full_like(core["mode"], core["rounds"])]))
+            mode, anc, dirb, inj = (snap[0], snap[1], snap[2],
+                                    snap[3].copy())
+            fbv = snap[4].astype(bool)
+            act = snap[5].astype(bool)
+            rounds = int(snap[6, 0])
             parked = act & ~fbv & (mode == PARKED)
             lanes = np.flatnonzero(parked)
             if lanes.size == 0:
@@ -890,9 +899,6 @@ class WideWaveRun:
             self.parks[lanes] += 1
             over = self.parks[lanes] > self.park_limit
             good = lanes[~over]
-            anc = np.asarray(core["anc"])
-            dirb = np.asarray(core["dirb"])
-            inj = np.asarray(core["inj_m"]).copy()
             mode = mode.copy()
             if good.size:
                 self.n_waves += 1
@@ -925,7 +931,7 @@ def batch_search_anchor_wide_waves(index: DeviceAnchorWide,
                                    resolve_phases,
                                    cap: int = 128, max_rounds: int = 0,
                                    overlap: int = -1,
-                                   park_limit: int = 64
+                                   park_limit: int = 16
                                    ) -> PingPongResult:
     """Wide anchor search with per-phase host resolve: heavy anchors
     PARK their lane; between device waves the host answers each parked

@@ -196,6 +196,11 @@ class TestNativeBuildParity:
         np.testing.assert_array_equal(a.cnts, b.cnts)
         np.testing.assert_array_equal(a.aux, b.aux)
         np.testing.assert_array_equal(a.poslist, b.poslist)
+        np.testing.assert_array_equal(a.leftidx, b.leftidx)
+        np.testing.assert_array_equal(a.heavy_keys, b.heavy_keys)
+        np.testing.assert_array_equal(a.heavy_offs, b.heavy_offs)
+        np.testing.assert_array_equal(a.heavy_poslist, b.heavy_poslist)
+        np.testing.assert_array_equal(a.heavy_leftperm, b.heavy_leftperm)
         assert a.j0 == b.j0 and a.k == b.k
         assert sorted(a.levels) == sorted(b.levels)
         for j in a.levels:
@@ -304,3 +309,52 @@ class TestSortedBucketsAndHeavyStore:
         w3.save(p3)
         w4 = AnchorIndexWide.load(p3)
         assert w4.leftidx is None and w4.heavy_keys is None
+
+    def test_binary_heavy_resolver_matches_linear_and_naive(self):
+        """The sorted heavy store's binary-search resolver must equal
+        both the linear-scan resolver and the naive two-strand truth —
+        including on text with N runs inside repeat copies (the reason
+        the heavy store sorts on RAW bytes, not 2-bit classes)."""
+        from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+        import dataclasses
+        rng = np.random.default_rng(53)
+        unit = _mk_genome(rng, 250)
+        copies = []
+        for i in range(50):
+            c = list(unit)
+            for _ in range(8):
+                c[rng.integers(0, len(c))] = "ACGT"[rng.integers(0, 4)]
+            if i % 7 == 0:     # N runs inside some copies
+                at = int(rng.integers(0, len(c) - 6))
+                c[at:at + 5] = list("NNNNN")
+            copies.append("".join(c))
+        chroms = {"r": "".join(copies) + _mk_genome(rng, 6_000)}
+        index = build_index(chroms)
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=8, cmax=8)
+        assert widx.heavy_leftperm is not None
+        res_bin = make_heavy_resolver(widx)
+        widx_lin = dataclasses.replace(widx, heavy_leftperm=None)
+        res_lin = make_heavy_resolver(widx_lin)
+        rc = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+        g = chroms["r"]
+        encs = []
+        for i in range(15):
+            at = int(rng.integers(0, len(g) - 400))
+            s = list(g[at:at + 400])
+            for _ in range(int(rng.integers(0, 5))):
+                s[rng.integers(0, 400)] = "ACGT"[rng.integers(0, 4)]
+            seq = "".join(s)
+            if i % 4 == 0:
+                seq = "".join(rc[c] for c in reversed(seq))
+            encs.append(encode_nt6(seq))
+        checked = 0
+        for P in encs:
+            want = ping_pong_search(index, P)
+            try:
+                got_b = anchor_search_wide(widx, P, resolver=res_bin)
+                got_l = anchor_search_wide(widx_lin, P, resolver=res_lin)
+            except NeedsFallback:
+                continue        # N inside a k-window: host FM path
+            assert got_b == got_l == want
+            checked += 1
+        assert checked > 5
