@@ -795,29 +795,20 @@ def ms_left_wide(idx: AnchorIndexWide, P: np.ndarray, r: int,
                 return resolver(P, r, "left")
             raise NeedsFallback
         cap = maxlen - k
-        best = 0
-        n = idx.n
         # orientation A: forward occurrence of the k-mer, extend LEFT
-        for p in idx.occurrences(key):
-            p = int(p)
-            e = 0
-            while (e < cap and p - 1 - e >= 0
-                   and T[p - 1 - e] == P[r - k - e] and P[r - k - e] != 0):
-                e += 1
-            best = max(best, e)
-            if best == cap:
-                return k + best
-        # orientation B: forward occurrence of the RC k-mer, extend
-        # RIGHT comparing complemented read symbols
-        for q in idx.occurrences(rkey):
-            q = int(q)
-            e = 0
-            while (e < cap and q + k + e < n and 1 <= P[r - k - e] <= 4
-                   and T[q + k + e] == 5 - P[r - k - e]):
-                e += 1
-            best = max(best, e)
-            if best == cap:
-                break
+        # (vectorized; Pw[e] = P[r-k-e], symbol 0 never matches —
+        # element-for-element the scalar loops this replaces)
+        Pi = P.astype(np.int16)
+        wa = Pi[r - k::-1][:cap] if r - k >= 0 else Pi[:0]
+        wa = np.where(wa == 0, -1, wa)
+        best = _max_ext_vec(T, idx.occurrences(key), wa, cap, -1, -1)
+        if best < cap:
+            # orientation B: forward occurrence of the RC k-mer, extend
+            # RIGHT comparing complemented read symbols
+            wb = 5 - Pi[r - k::-1][:cap] if r - k >= 0 else Pi[:0]
+            wb = np.where((wb >= 1) & (wb <= 4), wb, -1)
+            best = max(best, _max_ext_vec(T, idx.occurrences(rkey), wb,
+                                          cap, +1, k))
         return k + best
     for j in range(maxlen, j0, -1):
         if idx.level_present(j, _key_ending(P, r, j)):
@@ -852,29 +843,18 @@ def fms_right_wide(idx: AnchorIndexWide, P: np.ndarray, l: int, b: int,
                 return resolver(P, b, "right")
             raise NeedsFallback
         cap = maxlen - k
-        best = 0
-        n = idx.n
-        # orientation A: forward occurrence, extend RIGHT
-        for p in idx.occurrences(key):
-            p = int(p)
-            e = 0
-            while (e < cap and p + k + e < n
-                   and T[p + k + e] == P[b + k + e] and P[b + k + e] != 0):
-                e += 1
-            best = max(best, e)
-            if best == cap:
-                return k + best
-        # orientation B: forward occurrence of the RC k-mer, extend
-        # LEFT comparing complemented read symbols
-        for q in idx.occurrences(rkey):
-            q = int(q)
-            e = 0
-            while (e < cap and q - 1 - e >= 0 and 1 <= P[b + k + e] <= 4
-                   and T[q - 1 - e] == 5 - P[b + k + e]):
-                e += 1
-            best = max(best, e)
-            if best == cap:
-                break
+        # orientation A: forward occurrence, extend RIGHT (vectorized)
+        Pi = P.astype(np.int16)
+        wa = Pi[b + k:b + k + cap]
+        wa = np.where(wa == 0, -1, wa)
+        best = _max_ext_vec(T, idx.occurrences(key), wa, cap, +1, k)
+        if best < cap:
+            # orientation B: forward occurrence of the RC k-mer, extend
+            # LEFT comparing complemented read symbols
+            wb = 5 - Pi[b + k:b + k + cap]
+            wb = np.where((wb >= 1) & (wb <= 4), wb, -1)
+            best = max(best, _max_ext_vec(T, idx.occurrences(rkey), wb,
+                                          cap, -1, -1))
         return k + best
     for j in range(maxlen, j0, -1):
         if idx.level_present(j, _key_ending(P, b + j - 1, j)):
