@@ -70,6 +70,21 @@ struct LessLeft {
     }
 };
 
+struct LessLeft16 {
+    const uint8_t *text;
+    const uint32_t *pos;
+    bool operator()(uint16_t ia, uint16_t ib) const {
+        int64_t pa = (int64_t)pos[ia] - 1, pb = (int64_t)pos[ib] - 1;
+        for (;;) {
+            if (pa < 0) return true;
+            if (pb < 0) return false;
+            const int sa = wsym(text, pa), sb = wsym(text, pb);
+            if (sa != sb) return sa < sb;
+            --pa; --pb;
+        }
+    }
+};
+
 // RAW-byte comparators for the host-only heavy store: the resolver's
 // binary search must agree with the oracle's N-matching semantics
 // (raw equality is the match predicate), so heavy buckets sort on the
@@ -188,6 +203,44 @@ void svdss_wide_sort(const uint8_t *text, int64_t n, int k,
                 for (int i = 0; i < c; ++i) idx[i] = (uint8_t)i;
                 std::sort(idx.begin(), idx.end(), LessLeft{text, bucket});
                 uint8_t *lout = leftidx + aux[key];
+                for (int i = 0; i < c; ++i) lout[i] = idx[i];
+            }
+        }
+    };
+    const int nt = threads < 1 ? 1 : threads;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto &t : pool) t.join();
+}
+
+// uint16 variant of svdss_wide_sort for the deep-residency table
+// format (cmax up to 65534: counts and the left-order inverse
+// permutation are 16-bit). Same comparators, same order.
+void svdss_wide_sort16(const uint8_t *text, int64_t n, int k,
+                       const uint32_t *aux, const uint16_t *cnts,
+                       const uint8_t *keep, uint32_t *poslist,
+                       uint16_t *leftidx, int threads) {
+    const int64_t nk = (int64_t)1 << (2 * k);
+    const int64_t block = 1 << 14;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        std::vector<uint16_t> idx;
+        for (;;) {
+            const int64_t lo = next.fetch_add(block);
+            if (lo >= nk) return;
+            const int64_t hi = lo + block < nk ? lo + block : nk;
+            for (int64_t key = lo; key < hi; ++key) {
+                if (!keep[key]) continue;
+                const int c = cnts[key];
+                if (c < 2) continue;
+                uint32_t *bucket = poslist + aux[key];
+                std::sort(bucket, bucket + c, LessRight{text, n, k});
+                idx.resize(c);
+                for (int i = 0; i < c; ++i) idx[i] = (uint16_t)i;
+                std::sort(idx.begin(), idx.end(),
+                          LessLeft16{text, bucket});
+                uint16_t *lout = leftidx + aux[key];
                 for (int i = 0; i < c; ++i) lout[i] = idx[i];
             }
         }

@@ -74,6 +74,10 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
             lib.svdss_wide_sort.restype = None
+        if hasattr(lib, "svdss_wide_sort16"):
+            lib.svdss_wide_sort16.argtypes = \
+                lib.svdss_wide_sort.argtypes
+            lib.svdss_wide_sort16.restype = None
         if hasattr(lib, "svdss_wide_sort_heavy"):
             lib.svdss_wide_sort_heavy.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,

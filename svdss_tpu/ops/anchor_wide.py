@@ -66,9 +66,12 @@ from .anchor import NeedsFallback
 WIDE_K = 14
 # default prune bound: with suffix-ordered buckets a probe costs
 # O(log cnt), so cmax maximizes device residency on repeat-rich
-# genomes; 254 is the uint8 saturation/leftidx bound (see
-# build_anchor_index_wide). Pre-sorted-bucket builds used 32-44.
-WIDE_CMAX = 254
+# genomes — dispersed-repeat families (LINE/SINE-class, counts in the
+# thousands) stay device-resident and only satellite-core k-mers
+# (counts past 65534, the uint16 saturation/leftidx bound) park for
+# host resolve. Pre-sorted-bucket builds used 32-44; cmax <= 254
+# selects the 1-byte-leftidx table format.
+WIDE_CMAX = 65534
 
 
 def rc_keys(keys: np.ndarray, k: int) -> np.ndarray:
@@ -98,7 +101,10 @@ class AnchorIndexWide:
     text: np.ndarray              # uint8 nt6 forward text
     k: int
     j0: int                       # all two-strand ACGT j-mers occur, j<=j0
-    cnts: np.ndarray              # [4^k] uint8 forward counts (sat. 255)
+    cnts: np.ndarray              # [4^k] forward counts — uint8
+                                  # (sat. 255) when cmax <= 254, uint16
+                                  # (sat. 65535) for the deep-residency
+                                  # builds (cmax up to 65534)
     aux: np.ndarray               # [4^k] uint32: pos (cnt==1) / offset
     poslist: np.ndarray           # [np] uint32 starts (pruned; grouped by
                                   # key, right-suffix order inside a bucket
@@ -312,10 +318,11 @@ def _sort_buckets_numpy(text: np.ndarray, k: int, aux: np.ndarray,
                         cnts_full: np.ndarray, keep: np.ndarray,
                         poslist: np.ndarray) -> np.ndarray:
     """Reorder every kept bucket of `poslist` into right-suffix order
-    (in place) and return the uint8 left-order inverse permutation
-    (`leftidx`). Pure-numpy fallback for the native sort pass."""
+    (in place) and return the left-order inverse permutation
+    (`leftidx`, int64 — the caller narrows to the artifact dtype).
+    Pure-numpy fallback for the native sort pass."""
     Tc = ((text.astype(np.int16) - 1) & 3).astype(np.uint8)
-    leftidx = np.zeros(len(poslist), dtype=np.uint8)
+    leftidx = np.zeros(len(poslist), dtype=np.int64)
     for key in np.flatnonzero(keep):
         off = int(aux[key])
         c = int(cnts_full[key])
@@ -324,7 +331,7 @@ def _sort_buckets_numpy(text: np.ndarray, k: int, aux: np.ndarray,
         sl = sl[ro]
         poslist[off:off + c] = sl.astype(np.uint32)
         lo = _bucket_order(Tc, sl - 1, -1)
-        leftidx[off:off + c] = lo.astype(np.uint8)
+        leftidx[off:off + c] = lo
     return leftidx
 
 
@@ -361,11 +368,17 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
     # mask is UB at k >= 16, so reject explicit k past the key width
     # even though pick_k_wide caps at 14
     assert 1 <= k <= 15, f"wide anchor k={k} exceeds int32 key range"
-    # uint8 saturation argument: cnts saturate at 255 > cmax, so a
-    # saturated strand count alone already reads heavy, and unsaturated
-    # totals are exact — cmax <= 254 keeps the device's heavy test
-    # exact. leftidx (bucket-local uint8) needs the same bound.
-    assert 2 <= cmax <= 254, f"wide cmax={cmax} outside [2, 254]"
+    # saturation argument: cnts saturate at their dtype max > cmax, so
+    # a saturated strand count alone already reads heavy, and
+    # unsaturated totals are exact — cmax <= dtype_max - 1 keeps the
+    # device's heavy test exact. leftidx (bucket-local index) is uint8
+    # for cmax <= 254, uint16 up to 65534 (the deep-residency builds:
+    # dispersed-repeat families stay device-resident behind the
+    # O(log cnt) binary probes; only satellite-core k-mers park).
+    assert 2 <= cmax <= 65534, f"wide cmax={cmax} outside [2, 65534]"
+    cdtype = np.uint8 if cmax <= 254 else np.uint16
+    csat = 255 if cmax <= 254 else 65535
+    ldtype = np.uint8 if cmax <= 254 else np.uint16
     nk = 1 << (2 * k)
     lib = _native_wide() if use_native else None
 
@@ -523,18 +536,20 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
     leftidx = None
     heavy_leftperm = None
     if sort_buckets:
-        if lib is not None and hasattr(lib, "svdss_wide_sort"):
-            leftidx = np.zeros(np_total, dtype=np.uint8)
+        native_sort = "svdss_wide_sort" if ldtype == np.uint8 \
+            else "svdss_wide_sort16"
+        if lib is not None and hasattr(lib, native_sort):
+            leftidx = np.zeros(np_total, dtype=ldtype)
             keep_u8 = keep.astype(np.uint8)
-            cf32 = np.minimum(cnts_full, 255).astype(np.uint8)
-            lib.svdss_wide_sort(
+            cfs = np.minimum(cnts_full, csat).astype(cdtype)
+            getattr(lib, native_sort)(
                 text.ctypes.data, n, k, aux.ctypes.data,
-                cf32.ctypes.data, keep_u8.ctypes.data,
+                cfs.ctypes.data, keep_u8.ctypes.data,
                 poslist.ctypes.data, leftidx.ctypes.data, 2)
-            del keep_u8, cf32
+            del keep_u8, cfs
         else:
             leftidx = _sort_buckets_numpy(text, k, aux, cnts_full, keep,
-                                          poslist)
+                                          poslist).astype(ldtype)
         say("buckets sorted (right order + leftidx)")
         if nh_total:
             # heavy buckets sort by RAW nt6 bytes (the host resolver's
@@ -563,7 +578,7 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
         elif keep_heavy:
             heavy_leftperm = np.zeros(0, dtype=np.uint32)
 
-    cnts = np.minimum(cnts_full, 255).astype(np.uint8)
+    cnts = np.minimum(cnts_full, csat).astype(cdtype)
     return AnchorIndexWide(text=text, k=k, j0=j0, cnts=cnts, aux=aux,
                            poslist=poslist, levels=levels, cmax=cmax,
                            heavy_rate=heavy_rate, leftidx=leftidx,

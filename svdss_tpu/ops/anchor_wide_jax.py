@@ -97,6 +97,8 @@ class WideParams:
     n: int
     bm_bases: Tuple[int, ...]     # row offset per level j0+1 .. k-1
     sorted_b: bool = False        # buckets suffix-ordered (binary probes)
+    l16: bool = False             # leftidx is uint16 (cmax > 254 deep-
+                                  # residency tables), else uint8
 
 
 def pack_text2(text: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -153,11 +155,13 @@ def build_device_anchor_wide(widx: AnchorIndexWide
            else np.zeros((1, 2), dtype=np.int32))
     text2, badrow = pack_text2(widx.text)
     sorted_b = widx.leftidx is not None
+    l16 = sorted_b and widx.leftidx.dtype == np.uint16
     if sorted_b:
         li = widx.leftidx
-        pad = (-len(li)) % 4
+        per_word = 2 if l16 else 4
+        pad = (-len(li)) % per_word
         if pad:
-            li = np.concatenate([li, np.zeros(pad, dtype=np.uint8)])
+            li = np.concatenate([li, np.zeros(pad, dtype=li.dtype)])
         lperm = li.view(np.int32)
         if len(lperm) == 0:
             lperm = np.zeros(1, dtype=np.int32)
@@ -172,7 +176,8 @@ def build_device_anchor_wide(widx: AnchorIndexWide
         badrow=jnp.asarray(badrow),
         lperm=jnp.asarray(lperm))
     params = WideParams(k=k, j0=j0, cmax=widx.cmax, n=widx.n,
-                        bm_bases=tuple(bm_bases), sorted_b=sorted_b)
+                        bm_bases=tuple(bm_bases), sorted_b=sorted_b,
+                        l16=l16)
     return dev, params
 
 
@@ -419,12 +424,20 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
             aux_for = jnp.where(is_key | is_keyb, aux_g, s["aux"])
             need_l = b_multi | (is_pos & (strand == 1))
             lslot = aux_for + jnp.asarray(mid_eff, jnp.uint32)
-            lrow = jnp.clip((lslot >> 2).astype(jnp.int32), 0,
-                            index.lperm.shape[0] - 1)
-            lw = index.lperm[jnp.where(need_l, lrow, 0)]
-            li = (jax.lax.shift_right_logical(
-                lw, ((lslot & jnp.uint32(3)) * 8).astype(jnp.int32))
-                & 255)
+            if params.l16:
+                lrow = jnp.clip((lslot >> 1).astype(jnp.int32), 0,
+                                index.lperm.shape[0] - 1)
+                lw = index.lperm[jnp.where(need_l, lrow, 0)]
+                li = (jax.lax.shift_right_logical(
+                    lw, ((lslot & jnp.uint32(1)) * 16
+                         ).astype(jnp.int32)) & 0xFFFF)
+            else:
+                lrow = jnp.clip((lslot >> 2).astype(jnp.int32), 0,
+                                index.lperm.shape[0] - 1)
+                lw = index.lperm[jnp.where(need_l, lrow, 0)]
+                li = (jax.lax.shift_right_logical(
+                    lw, ((lslot & jnp.uint32(3)) * 8
+                         ).astype(jnp.int32)) & 255)
             sel = jnp.where(need_l, li, mid_eff)
             slot = aux_for + jnp.asarray(sel, jnp.uint32)
             want_probe = a_multi | b_multi | is_pos

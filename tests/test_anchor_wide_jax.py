@@ -213,3 +213,48 @@ class TestParkedPhaseWaves:
             if g is None:
                 continue
             assert g == ping_pong_search(index, e)
+
+
+def test_deep_residency_uint16_tables_stay_resident_and_exact():
+    """cmax > 254 selects uint16 counts + uint16 leftidx: dispersed
+    repeat families with bucket counts in the hundreds resolve ON
+    DEVICE via binary probes (no parking, no fallback), bit-identical
+    to the oracle."""
+    import dataclasses
+    import jax.numpy as jnp
+    from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+    from svdss_tpu.ops.anchor_wide_jax import \
+        batch_search_anchor_wide_waves
+    rng = np.random.default_rng(61)
+    unit = _mk_genome(rng, 150)
+    parts = [_mk_genome(rng, 3_000)]
+    for _ in range(400):            # family count ~400 >> 254
+        c = list(unit)
+        for _ in range(6):
+            c[rng.integers(0, len(c))] = "ACGT"[rng.integers(0, 4)]
+        parts.append("".join(c))
+    parts.append(_mk_genome(rng, 10_000))
+    chroms = {"r": "".join(parts)}
+    text = _fwd_text(chroms)
+    w16 = build_anchor_index_wide(text.copy(), k=9, cmax=2000)
+    w8 = build_anchor_index_wide(text.copy(), k=9, cmax=12)
+    assert w16.cnts.dtype == np.uint16
+    assert w16.leftidx.dtype == np.uint16
+    assert w8.leftidx.dtype == np.uint8
+    assert w16.heavy_rate < w8.heavy_rate  # family now resident
+    encs = _reads(rng, chroms, 24, 900)
+    got16, nw16 = _run_device_waves(w16, encs)
+    got8, nw8 = _run_device_waves(w8, encs)
+    assert nw16 < nw8 or (nw16 == 0 and nw8 == 0)
+    res16 = make_heavy_resolver(w16)
+    n_resident = 0
+    for e, g in zip(encs, got16):
+        if g is None:
+            continue
+        n_resident += 1
+        assert g == anchor_search_wide(w16, e, resolver=res16)
+    assert n_resident >= len(encs) * 3 // 4
+    # both table widths agree where both resolve
+    for a, b in zip(got16, got8):
+        if a is not None and b is not None:
+            assert a == b
