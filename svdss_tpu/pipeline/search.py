@@ -185,7 +185,14 @@ class _DeviceSearcher:
                 make_heavy_resolver
             if isinstance(anchor, AnchorIndexWide):
                 self.heavy_resolver = make_heavy_resolver(anchor)
-        hr_gate = 0.25 if self.heavy_resolver is not None else 0.05
+        # with deep-residency tables (cmax 65534) heavy_rate IS the
+        # satellite share: REPEAT_WIDE_r04c measured the parked-wave
+        # anchor engine at 164 reads/s vs the FM engine's ~530 class on
+        # a 3.1%-satellite 1.2G genome, so satellites past ~2% still
+        # route to FM; family-repeat genomes below that stay on the
+        # (resident, exact) anchor engine. Legacy no-store tables keep
+        # the stricter read-fallback-storm gate.
+        hr_gate = 0.02 if self.heavy_resolver is not None else 0.05
         if use_anchor and config.engine == "auto" and hr > hr_gate:
             logger.warning(
                 "search: anchor tables report %.1f%% phase-heavy rate "
