@@ -214,6 +214,41 @@ void svdss_wide_sort(const uint8_t *text, int64_t n, int k,
     for (auto &t : pool) t.join();
 }
 
+// Right-order-only variant of svdss_wide_sort: sorts each kept bucket
+// by the following suffix but emits NO left-order permutation. The
+// GRCh38-fit table format (ARCHITECTURE.md): at 3.1G forward symbols
+// the 1-byte leftidx alone is ~3.1 GB of HBM, pushing the full sorted
+// format past one v5e chip; dropping it keeps orientation-A probes
+// O(log cnt) while orientation B scans linearly. cnts are the raw
+// int64 counts (callers need not narrow them first).
+void svdss_wide_sort_right(const uint8_t *text, int64_t n, int k,
+                           const uint32_t *aux, const int64_t *cnts,
+                           const uint8_t *keep, uint32_t *poslist,
+                           int threads) {
+    const int64_t nk = (int64_t)1 << (2 * k);
+    const int64_t block = 1 << 14;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            const int64_t lo = next.fetch_add(block);
+            if (lo >= nk) return;
+            const int64_t hi = lo + block < nk ? lo + block : nk;
+            for (int64_t key = lo; key < hi; ++key) {
+                if (!keep[key]) continue;
+                const int64_t c = cnts[key];
+                if (c < 2) continue;
+                uint32_t *bucket = poslist + aux[key];
+                std::sort(bucket, bucket + c, LessRight{text, n, k});
+            }
+        }
+    };
+    const int nt = threads < 1 ? 1 : threads;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto &t : pool) t.join();
+}
+
 // uint16 variant of svdss_wide_sort for the deep-residency table
 // format (cmax up to 65534: counts and the left-order inverse
 // permutation are 16-bit). Same comparators, same order.

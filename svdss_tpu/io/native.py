@@ -74,6 +74,12 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
             lib.svdss_wide_sort.restype = None
+        if hasattr(lib, "svdss_wide_sort_right"):
+            lib.svdss_wide_sort_right.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int]
+            lib.svdss_wide_sort_right.restype = None
         if hasattr(lib, "svdss_wide_sort16"):
             lib.svdss_wide_sort16.argtypes = \
                 lib.svdss_wide_sort.argtypes

@@ -127,6 +127,13 @@ class AnchorIndexWide:
     # heavy_leftperm[off+m] = bucket-local index of the m-th entry in
     # left order. None on stores built before the sorted resolver.
     heavy_leftperm: Optional[np.ndarray] = None  # uint32
+    # right-order-only tables (sort_buckets="right"): poslist IS in
+    # right-suffix order but no leftidx was emitted — the GRCh38-fit
+    # format (leftidx alone is ~1 B/entry ~= 3.1 GB at 3.1G forward
+    # symbols, past one v5e's HBM with the rest of the tables). The
+    # device engine binary-probes orientation A and scans orientation B
+    # linearly (ops/anchor_wide_jax.py right_only).
+    right_sorted: bool = False
 
     @property
     def n(self) -> int:
@@ -193,6 +200,7 @@ class AnchorIndexWide:
         np.savez(path, text=self.text, cnts=self.cnts, aux=self.aux,
                  poslist=self.poslist, cmax=np.int32(self.cmax),
                  heavy_rate=np.float64(self.heavy_rate),
+                 right_sorted=np.bool_(self.right_sorted),
                  k=np.int32(self.k), j0=np.int32(self.j0),
                  level_js=np.asarray(sorted(self.levels), dtype=np.int32),
                  **{f"level_{j}": bm for j, bm in self.levels.items()},
@@ -213,7 +221,9 @@ class AnchorIndexWide:
                    poslist=np.asarray(z["poslist"]), levels=levels,
                    cmax=int(z["cmax"]),
                    heavy_rate=float(z["heavy_rate"])
-                   if "heavy_rate" in z.files else -1.0, **opt)
+                   if "heavy_rate" in z.files else -1.0,
+                   right_sorted=bool(z["right_sorted"])
+                   if "right_sorted" in z.files else False, **opt)
 
 
 def _keys_and_clean(text: np.ndarray, k: int,
@@ -316,13 +326,15 @@ def _bucket_order(Tc: np.ndarray, first: np.ndarray, step: int,
 
 def _sort_buckets_numpy(text: np.ndarray, k: int, aux: np.ndarray,
                         cnts_full: np.ndarray, keep: np.ndarray,
-                        poslist: np.ndarray) -> np.ndarray:
+                        poslist: np.ndarray,
+                        emit_left: bool = True) -> Optional[np.ndarray]:
     """Reorder every kept bucket of `poslist` into right-suffix order
     (in place) and return the left-order inverse permutation
-    (`leftidx`, int64 — the caller narrows to the artifact dtype).
+    (`leftidx`, int64 — the caller narrows to the artifact dtype), or
+    None when emit_left=False (right-order-only tables).
     Pure-numpy fallback for the native sort pass."""
     Tc = ((text.astype(np.int16) - 1) & 3).astype(np.uint8)
-    leftidx = np.zeros(len(poslist), dtype=np.int64)
+    leftidx = np.zeros(len(poslist), dtype=np.int64) if emit_left else None
     for key in np.flatnonzero(keep):
         off = int(aux[key])
         c = int(cnts_full[key])
@@ -330,8 +342,9 @@ def _sort_buckets_numpy(text: np.ndarray, k: int, aux: np.ndarray,
         ro = _bucket_order(Tc, sl + k, +1)
         sl = sl[ro]
         poslist[off:off + c] = sl.astype(np.uint32)
-        lo = _bucket_order(Tc, sl - 1, -1)
-        leftidx[off:off + c] = lo
+        if emit_left:
+            lo = _bucket_order(Tc, sl - 1, -1)
+            leftidx[off:off + c] = lo
     return leftidx
 
 
@@ -340,7 +353,7 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
                             log: Optional[Callable[[str], None]] = None,
                             block: int = 1 << 27,
                             use_native: bool = True,
-                            sort_buckets: bool = True,
+                            sort_buckets: "bool | str" = True,
                             keep_heavy: bool = True) -> AnchorIndexWide:
     """Build wide tables over a FORWARD text (n < 2^32).
 
@@ -351,7 +364,9 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
 
     sort_buckets orders each kept bucket by the following suffix and
     emits the leftidx permutation (the device binary-probe engine's
-    table format); keep_heavy retains pruned occurrence lists in the
+    table format); sort_buckets="right" sorts but omits leftidx (the
+    GRCh38-fit format: ~1 B/entry less HBM, orientation B scans
+    linearly); keep_heavy retains pruned occurrence lists in the
     host-only heavy store (the per-phase resolver's data). Both default
     on; legacy (unsorted, no-store) artifacts still load and search.
     """
@@ -535,7 +550,22 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
 
     leftidx = None
     heavy_leftperm = None
-    if sort_buckets:
+    right_only = sort_buckets == "right"
+    if sort_buckets and right_only:
+        # GRCh38-fit format: right-suffix bucket order, no leftidx
+        # (orientation-A binary probes only; B scans linearly on device)
+        if lib is not None and hasattr(lib, "svdss_wide_sort_right"):
+            keep_u8 = keep.astype(np.uint8)
+            lib.svdss_wide_sort_right(
+                text.ctypes.data, n, k, aux.ctypes.data,
+                cnts_full.ctypes.data, keep_u8.ctypes.data,
+                poslist.ctypes.data, 2)
+            del keep_u8
+        else:
+            _sort_buckets_numpy(text, k, aux, cnts_full, keep, poslist,
+                                emit_left=False)
+        say("buckets sorted (right order only)")
+    elif sort_buckets:
         native_sort = "svdss_wide_sort" if ldtype == np.uint8 \
             else "svdss_wide_sort16"
         if lib is not None and hasattr(lib, native_sort):
@@ -584,7 +614,8 @@ def build_anchor_index_wide(text: np.ndarray, k: Optional[int] = None,
                            heavy_rate=heavy_rate, leftidx=leftidx,
                            heavy_keys=heavy_keys, heavy_offs=heavy_offs,
                            heavy_poslist=heavy_poslist,
-                           heavy_leftperm=heavy_leftperm)
+                           heavy_leftperm=heavy_leftperm,
+                           right_sorted=right_only)
 
 
 # ------------------------------------------------------------- host search

@@ -99,6 +99,10 @@ class WideParams:
     sorted_b: bool = False        # buckets suffix-ordered (binary probes)
     l16: bool = False             # leftidx is uint16 (cmax > 254 deep-
                                   # residency tables), else uint8
+    right_only: bool = False      # right order only, no lperm table (the
+                                  # GRCh38-fit format): orientation A
+                                  # binary-probes, orientation B scans
+                                  # the bucket linearly with pair-verify
 
 
 def pack_text2(text: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -154,9 +158,10 @@ def build_device_anchor_wide(widx: AnchorIndexWide
     bms = (np.concatenate(bm_parts) if bm_parts
            else np.zeros((1, 2), dtype=np.int32))
     text2, badrow = pack_text2(widx.text)
-    sorted_b = widx.leftidx is not None
-    l16 = sorted_b and widx.leftidx.dtype == np.uint16
-    if sorted_b:
+    sorted_b = widx.leftidx is not None or widx.right_sorted
+    right_only = sorted_b and widx.leftidx is None
+    l16 = widx.leftidx is not None and widx.leftidx.dtype == np.uint16
+    if widx.leftidx is not None:
         li = widx.leftidx
         per_word = 2 if l16 else 4
         pad = (-len(li)) % per_word
@@ -177,7 +182,7 @@ def build_device_anchor_wide(widx: AnchorIndexWide
         lperm=jnp.asarray(lperm))
     params = WideParams(k=k, j0=j0, cmax=widx.cmax, n=widx.n,
                         bm_bases=tuple(bm_bases), sorted_b=sorted_b,
-                        l16=l16)
+                        l16=l16, right_only=right_only)
     return dev, params
 
 
@@ -416,29 +421,37 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
             # probes its middle entry; a POS round probes mid=(lo+hi)/2.
             # Right-compare lanes (orientation A) index the bucket
             # directly (it is stored in right-suffix order); left-compare
-            # lanes (B) go through the lperm byte for the left order.
+            # lanes (B) go through the lperm byte for the left order —
+            # or, on right-order-only tables (params.right_only, the
+            # GRCh38-fit format with no lperm), iterate linearly.
+            ronly = params.right_only
             lo_eff = jnp.where(is_key | is_keyb, 0, s["occ_i"])
             bhi_eff = jnp.where(start_a, cnt_a,
                                 jnp.where(is_keyb, s["cntb"], s["bhi"]))
             mid_eff = (lo_eff + bhi_eff) >> 1
             aux_for = jnp.where(is_key | is_keyb, aux_g, s["aux"])
-            need_l = b_multi | (is_pos & (strand == 1))
-            lslot = aux_for + jnp.asarray(mid_eff, jnp.uint32)
-            if params.l16:
-                lrow = jnp.clip((lslot >> 1).astype(jnp.int32), 0,
-                                index.lperm.shape[0] - 1)
-                lw = index.lperm[jnp.where(need_l, lrow, 0)]
-                li = (jax.lax.shift_right_logical(
-                    lw, ((lslot & jnp.uint32(1)) * 16
-                         ).astype(jnp.int32)) & 0xFFFF)
+            if ronly:
+                is_linb = on_b | is_keyb
+                sel = jnp.where(is_linb, lo_eff, mid_eff)
             else:
-                lrow = jnp.clip((lslot >> 2).astype(jnp.int32), 0,
-                                index.lperm.shape[0] - 1)
-                lw = index.lperm[jnp.where(need_l, lrow, 0)]
-                li = (jax.lax.shift_right_logical(
-                    lw, ((lslot & jnp.uint32(3)) * 8
-                         ).astype(jnp.int32)) & 255)
-            sel = jnp.where(need_l, li, mid_eff)
+                is_linb = jnp.zeros(Q, dtype=bool)
+                need_l = b_multi | (is_pos & (strand == 1))
+                lslot = aux_for + jnp.asarray(mid_eff, jnp.uint32)
+                if params.l16:
+                    lrow = jnp.clip((lslot >> 1).astype(jnp.int32), 0,
+                                    index.lperm.shape[0] - 1)
+                    lw = index.lperm[jnp.where(need_l, lrow, 0)]
+                    li = (jax.lax.shift_right_logical(
+                        lw, ((lslot & jnp.uint32(1)) * 16
+                             ).astype(jnp.int32)) & 0xFFFF)
+                else:
+                    lrow = jnp.clip((lslot >> 2).astype(jnp.int32), 0,
+                                    index.lperm.shape[0] - 1)
+                    lw = index.lperm[jnp.where(need_l, lrow, 0)]
+                    li = (jax.lax.shift_right_logical(
+                        lw, ((lslot & jnp.uint32(3)) * 8
+                             ).astype(jnp.int32)) & 255)
+                sel = jnp.where(need_l, li, mid_eff)
             slot = aux_for + jnp.asarray(sel, jnp.uint32)
             want_probe = a_multi | b_multi | is_pos
             prow = jnp.where(want_probe, (slot >> 1).astype(jnp.int32), 0)
@@ -495,7 +508,19 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         # survives its whole window continues solo; if both survive
         # (two 240+-symbol extensions — vanishingly rare) the second is
         # re-verified later, which is wasteful but exact.
-        if sorted_b:
+        if sorted_b and params.right_only:
+            # linear B lanes pair-verify like the unsorted engine
+            # (screening rounds check TWO bucket entries per round);
+            # probe lanes never pair
+            j2 = occ_i_eff + 1
+            slot2 = aux_eff + jnp.asarray(j2, jnp.uint32)
+            pair_ok = ver_like & is_linb & (ext_eff == 0) \
+                & (j2 < cnt_eff) & ~(a_single | b_single)
+            pr3 = index.pospairs[jnp.where(
+                pair_ok, (slot2 >> 1).astype(jnp.int32), 0)]
+            occ_2nd = jnp.where((slot2 & jnp.uint32(1)) == 1, pr3[:, 1],
+                                pr3[:, 0])
+        elif sorted_b:
             j2 = occ_i_eff
             pair_ok = jnp.zeros(Q, dtype=bool)
             occ_2nd = jnp.zeros(Q, dtype=jnp.uint32)
@@ -625,7 +650,7 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
 
         ext1_new, survive1, bad1, lt1 = compare(occ_eff, ext_eff,
                                                 ver_like)
-        if sorted_b:
+        if sorted_b and not params.right_only:
             survive2 = bad2 = jnp.zeros(Q, dtype=bool)
             ext2_new = jnp.zeros_like(ext1_new)
         else:
@@ -642,17 +667,41 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
             # bracket [lo, hi) by its order bit; the max LCP with the
             # query over the whole bucket equals the max over the probe
             # path (both insertion-point neighbors are always probed —
-            # the last lo-move probes ip-1, the last hi-move probes ip)
+            # the last lo-move probes ip-1, the last hi-move probes ip).
+            # right_only: orientation-B lanes (is_linb) instead iterate
+            # the bucket linearly with the pair-verify candidate.
+            if params.right_only:
+                best_new = jnp.where(pair_ok & ~survive2,
+                                     jnp.maximum(best_new, ext2_new),
+                                     best_new)
             early = best_new >= vcap
             done1 = ver_like & ~survive1
             lo2 = jnp.where(done1 & lt1, mid_eff + 1, lo_eff)
             hi2 = jnp.where(done1 & ~lt1, mid_eff, bhi_eff)
-            cont_occ = ver_like & ~early & survive1
-            cont_from2 = jnp.zeros(Q, dtype=bool)
-            occ_done = ver_like & ~cont_occ
-            more_occ = occ_done & (lo2 < hi2) & ~early
-            occ_i2 = jnp.where(ver_like, lo2, occ_i_eff)
-            bhi2 = jnp.where(ver_like, hi2, bhi_eff)
+            if params.right_only:
+                cont_A = ver_like & ~is_linb & ~early & survive1
+                cont_B = ver_like & is_linb & ~early \
+                    & (survive1 | (pair_ok & survive2))
+                cont_occ = cont_A | cont_B
+                cont_from2 = is_linb & ~survive1 & pair_ok & survive2
+                occ_done = ver_like & ~cont_occ
+                next_i = occ_i_eff + jnp.where(pair_ok, 2, 1)
+                more_occ = (occ_done & ~is_linb & (lo2 < hi2) & ~early) \
+                    | (occ_done & is_linb & (next_i < cnt_eff) & ~early)
+                occ_i2 = jnp.where(
+                    ver_like & is_linb,
+                    jnp.where(occ_done & (next_i < cnt_eff) & ~early,
+                              next_i,
+                              jnp.where(cont_from2, j2, occ_i_eff)),
+                    jnp.where(ver_like, lo2, occ_i_eff))
+                bhi2 = jnp.where(ver_like & ~is_linb, hi2, bhi_eff)
+            else:
+                cont_occ = ver_like & ~early & survive1
+                cont_from2 = jnp.zeros(Q, dtype=bool)
+                occ_done = ver_like & ~cont_occ
+                more_occ = occ_done & (lo2 < hi2) & ~early
+                occ_i2 = jnp.where(ver_like, lo2, occ_i_eff)
+                bhi2 = jnp.where(ver_like, hi2, bhi_eff)
         else:
             best_new = jnp.where(pair_ok & ~survive2,
                                  jnp.maximum(best_new, ext2_new), best_new)

@@ -258,3 +258,112 @@ def test_deep_residency_uint16_tables_stay_resident_and_exact():
     for a, b in zip(got16, got8):
         if a is not None and b is not None:
             assert a == b
+
+
+class TestRightOnlyTables:
+    """sort_buckets="right" — the GRCh38-fit table format: poslist in
+    right-suffix order, NO leftidx (saves ~1 B/entry of HBM, the margin
+    that lets 3.1G-forward tables fit one v5e). Orientation A binary-
+    probes; orientation B scans linearly with pair-verify. Output must
+    stay bit-identical to the FM ping-pong oracle."""
+
+    def test_builder_poslist_matches_full_sorted(self):
+        rng = np.random.default_rng(71)
+        chroms = {"c": _mk_genome(rng, 40_000)}
+        text = _fwd_text(chroms)
+        full = build_anchor_index_wide(text.copy(), k=9, cmax=32)
+        ronly = build_anchor_index_wide(text.copy(), k=9, cmax=32,
+                                        sort_buckets="right")
+        assert ronly.leftidx is None and ronly.right_sorted
+        assert full.leftidx is not None and not full.right_sorted
+        np.testing.assert_array_equal(full.poslist, ronly.poslist)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(73)
+        chroms = {"c": _mk_genome(rng, 20_000)}
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=8, cmax=16,
+                                       sort_buckets="right")
+        p = str(tmp_path / "ronly.npz")
+        widx.save(p)
+        got = widx.load(p)
+        assert got.right_sorted and got.leftidx is None
+        np.testing.assert_array_equal(got.poslist, widx.poslist)
+
+    def test_device_matches_fm_oracle(self):
+        rng = np.random.default_rng(77)
+        chroms = {"c1": _mk_genome(rng, 50_000),
+                  "c2": _mk_genome(rng, 25_000)}
+        index = build_index(chroms)
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=10, cmax=24,
+                                       sort_buckets="right")
+        encs = _reads(rng, chroms, 48, 700)
+        got = _run_device(widx, encs, cap=128)
+        n_fb = 0
+        for e, g in zip(encs, got):
+            if g is None:
+                n_fb += 1
+                continue
+            assert g == ping_pong_search(index, e)
+        assert n_fb < len(encs) // 3
+
+    def test_device_matches_full_sorted_engine(self):
+        """Same reads through full-sorted and right-only tables must
+        agree wherever both resolve (including deep buckets, where the
+        two engines take different probe paths)."""
+        rng = np.random.default_rng(79)
+        unit = _mk_genome(rng, 300)
+        chroms = {"r": _mk_genome(rng, 5_000) + unit * 25
+                  + _mk_genome(rng, 20_000)}
+        text = _fwd_text(chroms)
+        full = build_anchor_index_wide(text.copy(), k=9, cmax=64)
+        ronly = build_anchor_index_wide(text.copy(), k=9, cmax=64,
+                                        sort_buckets="right")
+        encs = _reads(rng, chroms, 32, 800)
+        ga = _run_device(full, encs)
+        gb = _run_device(ronly, encs)
+        n_both = 0
+        for a, b in zip(ga, gb):
+            assert (a is None) == (b is None)   # same fallback set
+            if a is not None:
+                n_both += 1
+                assert a == b
+        assert n_both >= len(encs) // 2
+
+    def test_parked_waves_on_right_only(self):
+        """Heavy anchors park and resolve exactly on right-only tables
+        too (the 6.2G production configuration)."""
+        from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+        rng = np.random.default_rng(83)
+        unit = _mk_genome(rng, 600)
+        parts = [_mk_genome(rng, 3_000)]
+        for _ in range(40):
+            c = list(unit)
+            for _ in range(len(c) // 20):
+                c[rng.integers(0, len(c))] = "ACGT"[rng.integers(0, 4)]
+            parts.append("".join(c))
+            parts.append(_mk_genome(rng, 800))
+        chroms = {"r": "".join(parts)}
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=9, cmax=12,
+                                       sort_buckets="right")
+        assert widx.heavy_rate > 0.1
+        encs = _reads(rng, chroms, 40, 1_200)
+        waved, nwaves = _run_device_waves(widx, encs)
+        assert sum(g is None for g in waved) <= len(encs) // 8
+        resolver = make_heavy_resolver(widx)
+        for e, g in zip(encs, waved):
+            if g is None:
+                continue
+            assert g == anchor_search_wide(widx, e, resolver=resolver)
+
+    def test_overlap_zero_right_only(self):
+        rng = np.random.default_rng(89)
+        chroms = {"c": _mk_genome(rng, 40_000)}
+        index = build_index(chroms)
+        widx = build_anchor_index_wide(_fwd_text(chroms), k=9, cmax=32,
+                                       sort_buckets="right")
+        encs = _reads(rng, chroms, 16, 400)
+        got = _run_device(widx, encs, overlap=0)
+        for e, g in zip(encs, got):
+            if g is None:
+                continue
+            assert g == ping_pong_search(index, e, overlap=0)

@@ -58,9 +58,24 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chrom-mbp", type=int, default=194)
     ap.add_argument("--n-chrom", type=int, default=16)
-    ap.add_argument("--reads", type=int, default=2048)
+    ap.add_argument("--reads", type=int, default=4096)
     ap.add_argument("--read-len", type=int, default=10_000)
     ap.add_argument("--cmax", type=int, default=44)
+    ap.add_argument("--qs", default="2048,4096",
+                    help="comma list of device batch widths to sweep; "
+                         "the headline rate is the best config")
+    ap.add_argument("--bisect-expand", action="store_true",
+                    help="re-run the first Q config with the per-symbol "
+                         "expansion mismatch scan (SVDSS_WIDE_EXPAND "
+                         "lowering) to bisect the r04->r04b regression "
+                         "at scale")
+    ap.add_argument("--fm-oracle-only", type=int, default=0,
+                    metavar="N",
+                    help="post-hoc truth mode: load the STAMPED FM "
+                         "index + the device dump, verify N device-"
+                         "resolved reads against the native FM engine "
+                         "(breaks the wide-oracle common mode), update "
+                         "--out, and exit")
     ap.add_argument("--verify", type=int, default=1152,
                     help="oracle-truth mode: number of device-resolved "
                          "reads to verify against the wide host oracle "
@@ -78,7 +93,7 @@ def main() -> int:
                          "results here for offline comparison")
     ap.add_argument("--fm-index", default="/tmp/giant62_index.npz")
     ap.add_argument("--anchor", default="/tmp/giant62_anchor.npz")
-    ap.add_argument("--out", default="docs/GIANT_WIDE_r04.json")
+    ap.add_argument("--out", default="docs/GIANT_WIDE_r05.json")
     args = ap.parse_args()
     out = {"chrom_mbp": args.chrom_mbp, "n_chrom": args.n_chrom,
            "cmax": args.cmax}
@@ -128,6 +143,69 @@ def main() -> int:
                 f"different path")
         return "ok"
 
+    def gen_reads():
+        g6 = chrom_nt6(1000, args.chrom_mbp * 1_000_000)
+        rr = np.random.default_rng(7)
+        L = args.read_len
+        reads = np.zeros((args.reads, L + 1), dtype=np.uint8)
+        lens = np.full(args.reads, L, dtype=np.int32)
+        starts = rr.integers(0, len(g6) - L, args.reads)
+        reads[:, :L] = g6[starts[:, None] + np.arange(L)]
+        cols = rr.integers(0, L, (args.reads, max(1, int(L * 0.002))))
+        rows = np.repeat(np.arange(args.reads), cols.shape[1])
+        reads[rows, cols.ravel()] = rr.integers(1, 5, cols.size)
+        ins_rows = np.nonzero(rr.random(args.reads) < 0.3)[0]
+        for i in ins_rows:
+            at = int(rr.integers(200, L - 200))
+            ins = rr.integers(1, 5, 100).astype(np.uint8)
+            reads[i, at + 100:L] = reads[i, at:L - 100].copy()
+            reads[i, at:at + 100] = ins
+        return reads, lens
+
+    if args.fm_oracle_only:
+        # Independent-oracle mode (VERDICT r4 item 7): the device run
+        # verified against the wide host oracle, which shares the
+        # matching-statistics reformulation with the engine; this mode
+        # breaks that common mode by checking device-resolved reads
+        # against the native FM ping-pong over the same genome's FMD
+        # index (requires the stamped index from giant_validation.py
+        # --scheme chrom_nt6 and the --dump-device file).
+        if not os.path.exists(args.fm_index) or \
+                not os.path.exists(stamp_path(args.fm_index)):
+            raise SystemExit("fm-oracle-only needs a stamped FM index")
+        check_stamp(args.fm_index, "FM index")
+        reads, lens = gen_reads()
+        L = args.read_len
+        from svdss_tpu.index.fmd import FMDIndex
+        from svdss_tpu.ops.pingpong_native import open_native_fmd
+        t0 = time.time()
+        index = FMDIndex.load(args.fm_index)
+        nf = open_native_fmd(index, threads=2)
+        assert nf is not None
+        print(f"[wide] FM index loaded in {time.time()-t0:.0f}s",
+              flush=True)
+        with open(args.dump_device) as f:
+            dev_got = {int(i): [tuple(p) for p in v]
+                       for i, v in json.load(f).items()}
+        pick = sorted(dev_got)[:args.fm_oracle_only]
+        t0 = time.time()
+        want = nf.search_batch([reads[i, :L].copy() for i in pick],
+                               threads=2)
+        mism = sum(1 for j, i in enumerate(pick)
+                   if [tuple(p) for p in want[j]] != dev_got[i])
+        rep = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                rep = json.load(f)
+        rep["fm_oracle_checked"] = len(pick)
+        rep["fm_oracle_mismatches"] = mism
+        rep["fm_oracle_s"] = round(time.time() - t0, 1)
+        with open(args.out, "w") as f:
+            json.dump(rep, f, indent=1)
+        print(f"[wide] FM oracle: {len(pick)} device-resolved reads "
+              f"checked, {mism} mismatches", flush=True)
+        return 0 if mism == 0 else 1
+
     if os.path.exists(args.anchor):
         out["anchor_stamp"] = check_stamp(args.anchor, "anchor table")
         t0 = time.time()
@@ -146,14 +224,16 @@ def main() -> int:
         print(f"[wide] forward text {len(text)} symbols "
               f"({2 * len(text)} two-strand)", flush=True)
         t0 = time.time()
-        # sorted (binary-probe) tables add 1 B/poslist-entry of leftidx;
-        # at 3.1G forward symbols that pushes device tables past one
-        # v5e's 16 GB HBM (ARCHITECTURE.md), so the 6.2G run keeps the
-        # pair-verify format and relies on the heavy store + parked
-        # waves only. SVDSS_GIANT_SORT=1 forces sorted tables (for
-        # smaller --chrom-mbp sweeps that fit).
-        sort_ok = bool(os.environ.get("SVDSS_GIANT_SORT")) or \
-            len(text) <= 2_000_000_000
+        # full sorted (binary-probe) tables add 1 B/poslist-entry of
+        # leftidx; at 3.1G forward symbols that pushes device tables
+        # past one v5e's 16 GB HBM, so at scale the build emits the
+        # RIGHT-ORDER-ONLY format (same bytes as unsorted: orientation
+        # A binary-probes, B scans linearly — the round-5 GRCh38-fit
+        # config, ARCHITECTURE.md). SVDSS_GIANT_SORT=1 forces the full
+        # format (for smaller --chrom-mbp sweeps that fit).
+        sort_ok = (True if (bool(os.environ.get("SVDSS_GIANT_SORT"))
+                            or len(text) <= 2_000_000_000)
+                   else "right")
         widx = build_anchor_index_wide(
             text, cmax=args.cmax, sort_buckets=sort_ok,
             log=lambda m: print(f"[wide-build] {m} "
@@ -170,29 +250,18 @@ def main() -> int:
               flush=True)
     out["n_fwd_symbols"] = widx.n
     out["two_strand_symbols"] = 2 * widx.n
-    assert 2 * widx.n >= 6_200_000_000, "below the 6.2G criterion"
+    if not os.environ.get("SVDSS_GIANT_ALLOW_SMALL"):
+        assert 2 * widx.n >= 6_200_000_000, "below the 6.2G criterion"
     out["poslist_entries"] = int(len(widx.poslist))
     host_bytes = (widx.cnts.nbytes + widx.aux.nbytes
                   + widx.poslist.nbytes + widx.text.nbytes // 2)
     out["table_bytes_est_gb"] = round((host_bytes) / 2**30, 2)
 
     # reads from chr1 coordinates
-    g6 = chrom_nt6(1000, args.chrom_mbp * 1_000_000)
-    rr = np.random.default_rng(7)
+    out["sort_mode"] = ("right" if widx.right_sorted else
+                        "full" if widx.leftidx is not None else "none")
+    reads, lens = gen_reads()
     L = args.read_len
-    reads = np.zeros((args.reads, L + 1), dtype=np.uint8)
-    lens = np.full(args.reads, L, dtype=np.int32)
-    starts = rr.integers(0, len(g6) - L, args.reads)
-    reads[:, :L] = g6[starts[:, None] + np.arange(L)]
-    cols = rr.integers(0, L, (args.reads, max(1, int(L * 0.002))))
-    rows = np.repeat(np.arange(args.reads), cols.shape[1])
-    reads[rows, cols.ravel()] = rr.integers(1, 5, cols.size)
-    ins_rows = np.nonzero(rr.random(args.reads) < 0.3)[0]
-    for i in ins_rows:
-        at = int(rr.integers(200, L - 200))
-        ins = rr.integers(1, 5, 100).astype(np.uint8)
-        reads[i, at + 100:L] = reads[i, at:L - 100].copy()
-        reads[i, at:at + 100] = ins
 
     if args.oracle_only:
         from svdss_tpu.ops.anchor_wide import anchor_search_wide
@@ -279,43 +348,105 @@ def main() -> int:
     print(f"[wide] device tables {out['hbm_tables_gb']} GB "
           f"(upload {out['upload_s']}s)", flush=True)
 
-    Q = 2048
-    seqs_j = jnp.asarray(reads[:Q])
-    lens_j = jnp.asarray(lens[:Q])
-    t0 = time.time()
-    res = batch_search_anchor_wide(didx, params, seqs_j, lens_j, cap=512)
-    np.asarray(res.n_sfs)
-    out["device_warm_s"] = round(time.time() - t0, 1)
-
-    t_total = 0.0
-    mism = 0
-    n_fb = 0
-    n_dev = 0
-    device_got = {}
-    for base in range(0, args.reads, Q):
-        sj = jnp.asarray(reads[base:base + Q])
-        lj = jnp.asarray(lens[base:base + Q])
+    def run_config(Q, tag):
+        """One full pass over the read set at device batch width Q;
+        returns (metrics dict, per-read results for resolved lanes)."""
+        n_use = (args.reads // Q) * Q
+        cfg = {"Q": Q, "tag": tag, "reads": n_use}
+        sj = jnp.asarray(reads[:Q])
+        lj = jnp.asarray(lens[:Q])
         t0 = time.time()
         res = batch_search_anchor_wide(didx, params, sj, lj, cap=512)
-        bad = np.asarray(res.incomplete | res.overflow)
-        qs = np.asarray(res.qs)
-        ln = np.asarray(res.length)
-        nn = np.asarray(res.n_sfs)
-        redo = np.nonzero(bad)[0]
-        if len(redo) and nf is not None:
-            nf.search_batch([encoded[base + i] for i in redo], threads=2)
-        t_total += time.time() - t0
-        n_fb += len(redo)
-        for i in range(len(nn)):
-            if bad[i]:
-                continue
-            n_dev += 1
-            got = list(zip(qs[i, :nn[i]].tolist(), ln[i, :nn[i]].tolist()))
-            if host_res is not None:
-                if got != host_res[base + i]:
-                    mism += 1
-            else:
-                device_got[base + i] = got
+        np.asarray(res.n_sfs)
+        cfg["warm_s"] = round(time.time() - t0, 1)
+        t_total = 0.0
+        n_fb = n_dev = rounds_tot = 0
+        got = {}
+        for base in range(0, n_use, Q):
+            sj = jnp.asarray(reads[base:base + Q])
+            lj = jnp.asarray(lens[base:base + Q])
+            t0 = time.time()
+            res = batch_search_anchor_wide(didx, params, sj, lj, cap=512)
+            bad = np.asarray(res.incomplete | res.overflow)
+            qsv = np.asarray(res.qs)
+            lnv = np.asarray(res.length)
+            nn = np.asarray(res.n_sfs)
+            redo = np.nonzero(bad)[0]
+            if len(redo) and nf is not None:
+                nf.search_batch([encoded[base + i] for i in redo],
+                                threads=2)
+            t_total += time.time() - t0
+            rounds_tot += int(np.asarray(res.iters))
+            n_fb += len(redo)
+            for i in range(len(nn)):
+                if bad[i]:
+                    continue
+                n_dev += 1
+                got[base + i] = list(zip(qsv[i, :nn[i]].tolist(),
+                                         lnv[i, :nn[i]].tolist()))
+        cfg["device_search_s"] = round(t_total, 2)
+        cfg["device_reads_per_s"] = round(n_use / t_total, 1)
+        cfg["lockstep_rounds"] = rounds_tot
+        cfg["fallback_reads"] = n_fb
+        cfg["device_resolved_reads"] = n_dev
+        if n_fb and nf is None:
+            cfg["device_resolved_reads_per_s"] = round(
+                (n_use - n_fb) / t_total, 1)
+        print(f"[wide] config {tag} Q={Q}: "
+              f"{cfg['device_reads_per_s']} reads/s "
+              f"({rounds_tot} rounds, {n_fb} fb, "
+              f"warm {cfg['warm_s']}s)", flush=True)
+        return cfg, got
+
+    qs_list = [int(x) for x in args.qs.split(",") if x]
+    out["configs"] = []
+    device_got = None
+    for Qi in qs_list:
+        if Qi > args.reads:
+            continue
+        try:
+            cfg, got = run_config(Qi, "word-scan")
+        except Exception as exc:       # e.g. HBM OOM at a wide Q
+            out["configs"].append({"Q": Qi, "tag": "word-scan",
+                                   "error": repr(exc)[:300]})
+            print(f"[wide] config Q={Qi} failed: {exc!r}", flush=True)
+            continue
+        if device_got is None:
+            device_got = got
+        else:
+            common = set(device_got) & set(got)
+            cfg["cross_mismatch"] = sum(
+                device_got[i] != got[i] for i in common)
+        out["configs"].append(cfg)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=1)
+    if args.bisect_expand:
+        # identical semantics, per-symbol-expansion mismatch-scan
+        # lowering — the r04->r04b bisect at the real scale
+        import svdss_tpu.ops.anchor_wide_jax as awj
+        awj._EXPAND_SCAN = True
+        jax.clear_caches()
+        cfg, got = run_config(qs_list[0], "expand-scan")
+        common = set(device_got) & set(got)
+        cfg["cross_mismatch"] = sum(
+            device_got[i] != got[i] for i in common)
+        out["configs"].append(cfg)
+        awj._EXPAND_SCAN = False
+        jax.clear_caches()
+    best = max((c for c in out["configs"]
+                if c["tag"] == "word-scan" and "device_reads_per_s" in c),
+               key=lambda c: c["device_reads_per_s"])
+    out["best_Q"] = best["Q"]
+    t_total = best["device_search_s"]
+    n_fb = best["fallback_reads"]
+    n_dev = best["device_resolved_reads"]
+    mism = 0
+    if host_res is not None:
+        for i, got_i in device_got.items():
+            if got_i != host_res[i]:
+                mism += 1
+        device_got = {}
     if host_res is None:
         # device numbers are complete at this point — persist them
         # before the (slow, pure-Python) oracle verification pass
@@ -356,12 +487,12 @@ def main() -> int:
               f"in {out['oracle_verify_s']}s, {mism} mismatches, "
               f"{oracle_fb} oracle-fallbacks", flush=True)
     out["device_search_s"] = round(t_total, 2)
-    out["device_reads_per_s"] = round(args.reads / t_total, 1)
+    out["device_reads_per_s"] = best["device_reads_per_s"]
     if nf is None and n_fb:
         # no FM engine on disk to time the redo of fallback lanes; the
         # honest rate then is device-resolved reads over device time
         out["device_resolved_reads_per_s"] = round(
-            (args.reads - n_fb) / t_total, 1)
+            (best["reads"] - n_fb) / t_total, 1)
     out["fallback_reads"] = n_fb
     out["device_resolved_reads"] = n_dev
     out["mismatches"] = mism
