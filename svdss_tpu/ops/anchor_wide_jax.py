@@ -855,21 +855,28 @@ def _merge_stage_wide(s: dict, cap: int) -> dict:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("wlp",))
+def _pack_chunks2(seqs: jax.Array, lens: jax.Array, wlp: int):
+    """One-time read packing for the wave driver: waves re-enter
+    _wave_step many times per batch, and re-packing [Q, Lp1] reads into
+    span rows on every relaunch was pure repeated device work (~16x per
+    repeat-rich batch, docs/REPEAT_WIDE_r04c.json)."""
+    words, has_bad = pack_read_words2(seqs, lens, wlp)
+    return derive_chunks2(words), has_bad
+
+
 @functools.partial(jax.jit, static_argnames=("params", "cap", "max_rounds",
                                              "overlap"))
 def _wave_step(index: DeviceAnchorWide, params: WideParams,
-               seqs: jax.Array, lens: jax.Array, core: dict,
+               chunks: jax.Array, lens: jax.Array, core: dict,
                oq: jax.Array, ol: jax.Array, cap: int, max_rounds: int,
                overlap: int):
     """Run the parked-phase engine until every live lane is done or
     PARKED (one wave). The state dict round-trips device-resident
-    between waves; only the small park vectors transfer to the host."""
-    Q, Lp1 = seqs.shape
-    wlp = words_per_lane2(Lp1)
-    words, _ = pack_read_words2(seqs, lens, wlp)
-    chunks = derive_chunks2(words)
-    round_body = _make_round_body_wide(index, params, overlap,
-                                       chunk_rows2(Lp1),
+    between waves (reads stay packed as span-row chunks); only the
+    small park vectors transfer to the host."""
+    nwm = chunks.shape[2]
+    round_body = _make_round_body_wide(index, params, overlap, nwm,
                                        read_chunks=chunks, lens=lens,
                                        park=True)
 
@@ -899,10 +906,13 @@ def _wave_step(index: DeviceAnchorWide, params: WideParams,
 
 
 class WideWaveRun:
-    """An in-flight parked-phase wide search: construction launches the
-    first device wave asynchronously (JAX dispatch returns immediately,
-    so the caller can pack the next batch while the chip runs);
-    ``finish()`` drives the remaining resolve waves to completion."""
+    """An in-flight parked-phase wide search: construction packs the
+    reads once and launches the first device wave asynchronously (JAX
+    dispatch returns immediately, so the caller can pack the next batch
+    while the chip runs); ``finish()`` drives the remaining resolve
+    waves to completion, or ``service()`` advances ONE wave at a time so
+    a scheduler can interleave several in-flight runs (each run's host
+    resolve + link RTT hides behind another run's device wave)."""
 
     def __init__(self, index: DeviceAnchorWide, params: WideParams,
                  seqs: jax.Array, lens: jax.Array, resolve_phases,
@@ -916,67 +926,80 @@ class WideWaveRun:
         inread = np.arange(Lp1)[None, :] < lens_np[:, None]
         has_bad = (inread & ((seqs_np < 1) | (seqs_np > 4))).any(axis=1)
         self.index, self.params = index, params
-        self.seqs, self.lens = seqs, jnp.asarray(lens_np)
+        self.lens = jnp.asarray(lens_np)
+        self.chunks, _ = _pack_chunks2(seqs, self.lens,
+                                       words_per_lane2(Lp1))
         self.resolve_phases = resolve_phases
         self.cap, self.max_rounds = cap, max_rounds
         self.overlap, self.park_limit = overlap, park_limit
         self.parks = np.zeros(Q, dtype=np.int64)
         self.n_waves = 0
+        self._done = False
         core = dict(rounds=jnp.int32(0), stage_at=jnp.int32(0),
                     **_lane_reset_wide(Q, self.lens,
                                        jnp.asarray(has_bad)))
         oq = jnp.zeros((Q, cap), dtype=jnp.int32)
         ol = jnp.zeros((Q, cap), dtype=jnp.int32)
-        self.state = _wave_step(index, params, self.seqs, self.lens,
+        self.state = _wave_step(index, params, self.chunks, self.lens,
                                 core, oq, ol, cap=cap,
                                 max_rounds=max_rounds, overlap=overlap)
 
-    def finish(self) -> PingPongResult:
+    def service(self) -> bool:
+        """Advance this run by one wave: pull the park snapshot (blocks
+        on this run's in-flight wave only), resolve parked phases on the
+        host, relaunch asynchronously. Returns False once complete."""
+        if self._done:
+            return False
         core, oq, ol = self.state
-        while True:
-            # ONE device->host pull per wave (each np.asarray on a
-            # separate device array costs a full link RTT — at 25 ms
-            # that was most of the wave overhead)
-            snap = np.asarray(jnp.stack([
-                core["mode"], core["anc"], core["dirb"], core["inj_m"],
-                core["fb"].astype(jnp.int32),
-                core["active"].astype(jnp.int32),
-                jnp.full_like(core["mode"], core["rounds"])]))
-            mode, anc, dirb, inj = (snap[0], snap[1], snap[2],
-                                    snap[3].copy())
-            fbv = snap[4].astype(bool)
-            act = snap[5].astype(bool)
-            rounds = int(snap[6, 0])
-            parked = act & ~fbv & (mode == PARKED)
-            lanes = np.flatnonzero(parked)
-            if lanes.size == 0:
-                break
-            if rounds >= self.max_rounds:
-                # round budget exhausted with phases still parked:
-                # those lanes re-run whole on the exact host path
-                fbv = fbv.copy()
-                fbv[lanes] = True
-                core = dict(core, fb=jnp.asarray(fbv))
-                break
-            self.parks[lanes] += 1
-            over = self.parks[lanes] > self.park_limit
-            good = lanes[~over]
-            mode = mode.copy()
-            if good.size:
-                self.n_waves += 1
-                inj[good] = self.resolve_phases(good, anc[good],
-                                                dirb[good])
-                mode[good] = RESOLVED
-            if over.any():
-                fbv = fbv.copy()
-                fbv[lanes[over]] = True
-            core = dict(core, mode=jnp.asarray(mode),
-                        inj_m=jnp.asarray(inj), fb=jnp.asarray(fbv))
-            core, oq, ol = _wave_step(self.index, self.params,
-                                      self.seqs, self.lens, core, oq,
-                                      ol, cap=self.cap,
-                                      max_rounds=self.max_rounds,
-                                      overlap=self.overlap)
+        # ONE device->host pull per wave (each np.asarray on a
+        # separate device array costs a full link RTT — at 25 ms
+        # that was most of the wave overhead)
+        snap = np.asarray(jnp.stack([
+            core["mode"], core["anc"], core["dirb"], core["inj_m"],
+            core["fb"].astype(jnp.int32),
+            core["active"].astype(jnp.int32),
+            jnp.full_like(core["mode"], core["rounds"])]))
+        mode, anc, dirb, inj = (snap[0], snap[1], snap[2],
+                                snap[3].copy())
+        fbv = snap[4].astype(bool)
+        act = snap[5].astype(bool)
+        rounds = int(snap[6, 0])
+        parked = act & ~fbv & (mode == PARKED)
+        lanes = np.flatnonzero(parked)
+        if lanes.size == 0:
+            self._done = True
+            return False
+        if rounds >= self.max_rounds:
+            # round budget exhausted with phases still parked:
+            # those lanes re-run whole on the exact host path
+            fbv = fbv.copy()
+            fbv[lanes] = True
+            self.state = (dict(core, fb=jnp.asarray(fbv)), oq, ol)
+            self._done = True
+            return False
+        self.parks[lanes] += 1
+        over = self.parks[lanes] > self.park_limit
+        good = lanes[~over]
+        mode = mode.copy()
+        if good.size:
+            self.n_waves += 1
+            inj[good] = self.resolve_phases(good, anc[good],
+                                            dirb[good])
+            mode[good] = RESOLVED
+        if over.any():
+            fbv = fbv.copy()
+            fbv[lanes[over]] = True
+        core = dict(core, mode=jnp.asarray(mode),
+                    inj_m=jnp.asarray(inj), fb=jnp.asarray(fbv))
+        self.state = _wave_step(self.index, self.params, self.chunks,
+                                self.lens, core, oq, ol, cap=self.cap,
+                                max_rounds=self.max_rounds,
+                                overlap=self.overlap)
+        return True
+
+    def result(self) -> PingPongResult:
+        """Final results; valid once service() has returned False."""
+        core, oq, ol = self.state
         final = dict(core, out_qs=oq, out_l=ol)
         incomplete = final["fb"] | final["active"]
         return PingPongResult(qs=final["out_qs"],
@@ -985,6 +1008,31 @@ class WideWaveRun:
                               overflow=final["overflow"],
                               incomplete=incomplete,
                               iters=final["rounds"])
+
+    def finish(self) -> PingPongResult:
+        while self.service():
+            pass
+        return self.result()
+
+
+class WideWaveScheduler:
+    """Round-robin driver for several in-flight WideWaveRuns.
+
+    One run's wave relaunch path costs host resolve time plus two link
+    round-trips (snapshot pull, park-vector push); with a single run the
+    device idles through all of it (~5.6 s of an 8.7 s repeat-rich batch
+    was 16 such relaunches, docs/REPEAT_WIDE_r04c.json). Interleaving
+    runs keeps the chip busy: while run A's wave executes, the host
+    snapshots/resolves run B, whose next wave queues behind A's."""
+
+    def __init__(self, runs):
+        self.runs = list(runs)
+
+    def finish_all(self):
+        live = list(self.runs)
+        while live:
+            live = [r for r in live if r.service()]
+        return [r.result() for r in self.runs]
 
 
 def batch_search_anchor_wide_waves(index: DeviceAnchorWide,

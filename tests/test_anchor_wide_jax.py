@@ -367,3 +367,69 @@ class TestRightOnlyTables:
             if g is None:
                 continue
             assert g == ping_pong_search(index, e, overlap=0)
+
+
+def test_wave_scheduler_interleaved_matches_serial():
+    """WideWaveScheduler round-robins several in-flight runs; results
+    must be identical to driving each run's waves serially."""
+    import jax.numpy as jnp
+    from svdss_tpu.ops.anchor_wide import make_heavy_resolver
+    from svdss_tpu.ops.anchor_wide_jax import (WideWaveRun,
+                                               WideWaveScheduler,
+                                               build_device_anchor_wide)
+    rng = np.random.default_rng(97)
+    unit = _mk_genome(rng, 500)
+    parts = [_mk_genome(rng, 3_000)]
+    for _ in range(30):
+        c = list(unit)
+        for _ in range(len(c) // 20):
+            c[rng.integers(0, len(c))] = "ACGT"[rng.integers(0, 4)]
+        parts.append("".join(c))
+        parts.append(_mk_genome(rng, 700))
+    chroms = {"r": "".join(parts)}
+    widx = build_anchor_index_wide(_fwd_text(chroms), k=9, cmax=12)
+    resolver = make_heavy_resolver(widx)
+    encs = _reads(rng, chroms, 32, 900)
+    dev, params = build_device_anchor_wide(widx)
+    L = max(len(e) for e in encs)
+    seqs = np.zeros((len(encs), L + 1), dtype=np.uint8)
+    lens = np.zeros(len(encs), dtype=np.int32)
+    for i, e in enumerate(encs):
+        seqs[i, :len(e)] = e
+        lens[i] = len(e)
+
+    def mk_resolve(base):
+        def rp(lanes, ancs, dirbs):
+            out = np.empty(len(lanes), dtype=np.int32)
+            for j, (ln, a, d) in enumerate(zip(lanes, ancs, dirbs)):
+                out[j] = resolver(encs[base + ln], int(a),
+                                  "left" if d == 1 else "right")
+            return out
+        return rp
+
+    def results(parts_):
+        out = []
+        for p in parts_:
+            qs, ln = np.asarray(p.qs), np.asarray(p.length)
+            nn = np.asarray(p.n_sfs)
+            bad = np.asarray(p.incomplete | p.overflow)
+            for i in range(len(nn)):
+                out.append(None if bad[i] else
+                           list(zip(qs[i, :nn[i]].tolist(),
+                                    ln[i, :nn[i]].tolist())))
+        return out
+
+    half = len(encs) // 2
+
+    def mk_runs():
+        return [WideWaveRun(dev, params, jnp.asarray(seqs[:half]),
+                            jnp.asarray(lens[:half]), mk_resolve(0),
+                            cap=128),
+                WideWaveRun(dev, params, jnp.asarray(seqs[half:]),
+                            jnp.asarray(lens[half:]), mk_resolve(half),
+                            cap=128)]
+
+    serial = results([r.finish() for r in mk_runs()])
+    inter = results(WideWaveScheduler(mk_runs()).finish_all())
+    assert serial == inter
+    assert sum(g is not None for g in serial) > len(encs) // 2

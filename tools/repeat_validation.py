@@ -104,10 +104,15 @@ def main() -> int:
                     default="waves",
                     help="waves = parked-phase host resolve (production"
                          " since round 4); oneshot = per-read fallback")
-    ap.add_argument("--out", default="docs/REPEAT_WIDE_r04.json")
+    ap.add_argument("--batches", type=int, default=2,
+                    help="waves driver: split the reads into this many "
+                         "interleaved in-flight batches (host resolve + "
+                         "link RTT of one batch hides behind another's "
+                         "device wave)")
+    ap.add_argument("--out", default="docs/REPEAT_WIDE_r05.json")
     args = ap.parse_args()
     out = {"fwd_mbp": args.fwd_mbp, "cmax": args.cmax,
-           "driver": args.driver}
+           "driver": args.driver, "batches": args.batches}
 
     from svdss_tpu.ops.anchor_wide import (anchor_search_wide,
                                            build_anchor_index_wide,
@@ -191,26 +196,47 @@ def main() -> int:
     cap = max(512, (L + 1) // 16)
     if args.driver == "waves":
         from svdss_tpu.ops.anchor_wide import make_heavy_resolver
-        from svdss_tpu.ops.anchor_wide_jax import \
-            batch_search_anchor_wide_waves
+        from svdss_tpu.ops.anchor_wide_jax import (PingPongResult,
+                                                   WideWaveRun,
+                                                   WideWaveScheduler)
         resolver = make_heavy_resolver(widx)
         assert resolver is not None, "tables lack the heavy store"
         stats = {"waves": 0, "phases": 0, "host_s": 0.0}
+        nb = max(1, args.batches)
+        Qb = args.reads // nb
+        assert Qb * nb == args.reads, "--batches must divide --reads"
 
-        def resolve_phases(lns, ancs, dirbs):
-            th = time.time()
-            stats["waves"] += 1
-            stats["phases"] += len(lns)
-            mm = np.empty(len(lns), dtype=np.int32)
-            for j, (lnn, a, d) in enumerate(zip(lns, ancs, dirbs)):
-                mm[j] = resolver(reads[lnn, :L], int(a),
-                                 "left" if d == 1 else "right")
-            stats["host_s"] += time.time() - th
-            return mm
+        def make_resolve(base):
+            def resolve_phases(lns, ancs, dirbs):
+                th = time.time()
+                stats["waves"] += 1
+                stats["phases"] += len(lns)
+                mm = np.empty(len(lns), dtype=np.int32)
+                for j, (lnn, a, d) in enumerate(zip(lns, ancs, dirbs)):
+                    mm[j] = resolver(reads[base + lnn, :L], int(a),
+                                     "left" if d == 1 else "right")
+                stats["host_s"] += time.time() - th
+                return mm
+            return resolve_phases
 
         def run():
-            return batch_search_anchor_wide_waves(
-                didx, params, seqs_j, lens_j, resolve_phases, cap=cap)
+            runs = [WideWaveRun(didx, params,
+                                seqs_j[b * Qb:(b + 1) * Qb],
+                                lens_j[b * Qb:(b + 1) * Qb],
+                                make_resolve(b * Qb), cap=cap)
+                    for b in range(nb)]
+            parts = WideWaveScheduler(runs).finish_all()
+            return PingPongResult(
+                qs=np.concatenate([np.asarray(p.qs) for p in parts]),
+                length=np.concatenate([np.asarray(p.length)
+                                       for p in parts]),
+                n_sfs=np.concatenate([np.asarray(p.n_sfs)
+                                      for p in parts]),
+                overflow=np.concatenate([np.asarray(p.overflow)
+                                         for p in parts]),
+                incomplete=np.concatenate([np.asarray(p.incomplete)
+                                           for p in parts]),
+                iters=sum(int(np.asarray(p.iters)) for p in parts))
     else:
         def run():
             return batch_search_anchor_wide(didx, params, seqs_j,
