@@ -113,40 +113,64 @@ def time_device(dev_index, reads, lens, iters: int, cap: int = 512,
     return len(reads) / min(times), warm, n_sfs, times
 
 
+def auto_q(n_reads: int, read_len: int, base_budget: int) -> int:
+    """Lane count for a read-length bucket: the lane budget is
+    symbol-denominated (Q x L ~ const, tuned at the 10kb primary
+    shape). At 30kb a flat Q=4096 measured 29% below the base-budget
+    Q=1280 (VALIDATION r04) — long reads want fewer, deeper lanes."""
+    q = max(256, min(n_reads, base_budget // max(read_len, 1)))
+    return max(256, (q // 256) * 256)
+
+
 def time_anchor(didx, params, index, reads, lens, iters: int,
-                cap: int = 512):
+                cap: int = 512, q: int = 0):
     """Anchor-verify engine rate, INCLUDING the exact host re-run of
-    unresolved/overflow lanes (the production fallback semantics)."""
+    unresolved/overflow lanes (the production fallback semantics).
+    q > 0 splits the read set into device batches of q lanes (the
+    production dispatcher's per-bucket lane budget)."""
     import jax.numpy as jnp
     from svdss_tpu.ops.anchor_jax import batch_search_anchor
     from svdss_tpu.pipeline.search import host_search_batch
     # match the production dispatcher's length-scaled emission cap —
     # a flat 512 overflows ~5% of 30kb lanes (round-3 30kb regression)
     cap = max(cap, reads.shape[1] // 16)
-    seqs_j = jnp.asarray(reads)
-    lens_j = jnp.asarray(lens)
+    n = len(reads)
+    if q and q < n:
+        n = (n // q) * q
+        reads, lens = reads[:n], lens[:n]
+    else:
+        q = n
     # the host fallback engine's one-time table build must not be
     # billed to the first timed iteration (production amortizes it
     # across the whole run)
     host_search_batch(index, [reads[0, :64]])
     t0 = time.time()
-    res = batch_search_anchor(didx, params, seqs_j, lens_j, cap=cap)
+    res = batch_search_anchor(didx, params, jnp.asarray(reads[:q]),
+                              jnp.asarray(lens[:q]), cap=cap)
     np.asarray(res.n_sfs)
     warm = time.time() - t0
     times = []
     n_redo = 0
+    n_sfs = 0
     for _ in range(iters):
+        n_redo = 0
+        n_sfs = 0
         t0 = time.time()
-        res = batch_search_anchor(didx, params, seqs_j, lens_j, cap=cap)
-        bad = np.asarray(res.incomplete | res.overflow)
-        redo = np.nonzero(bad)[0]
-        if len(redo):
-            from svdss_tpu.pipeline.search import host_search_batch
-            host_search_batch(index, [reads[i, :lens[i]] for i in redo])
-        n_redo = len(redo)
+        for base in range(0, n, q):
+            res = batch_search_anchor(didx, params,
+                                      jnp.asarray(reads[base:base + q]),
+                                      jnp.asarray(lens[base:base + q]),
+                                      cap=cap)
+            bad = np.asarray(res.incomplete | res.overflow)
+            redo = np.nonzero(bad)[0]
+            if len(redo):
+                host_search_batch(index, [reads[base + i,
+                                                :lens[base + i]]
+                                          for i in redo])
+            n_redo += len(redo)
+            n_sfs += int(np.asarray(res.n_sfs)[~bad].sum())
         times.append(time.time() - t0)
-    n_sfs = int(np.asarray(res.n_sfs)[~bad].sum())
-    return len(reads) / min(times), warm, n_sfs, times, n_redo
+    return n / min(times), warm, n_sfs, times, n_redo
 
 
 def time_pool(didx, params, index, reads, lens, cap: int = 512,
@@ -339,17 +363,19 @@ def main() -> int:
 
     by_len = {str(args.read_len): round(rate, 1)}
     if not args.no_sweep:
+        base_budget = args.reads * args.read_len
         for L in (2_000, 30_000):
             r2, l2 = make_reads(genome_arr, args.reads, L)
+            qb = auto_q(args.reads, L, base_budget)
             if didx is not None:
                 r_l, w_l, _, _, _ = time_anchor(didx, params, index,
-                                                r2, l2, 1)
+                                                r2, l2, 1, q=qb)
             else:
                 r_l, w_l, _, _ = time_device(dev_index, r2, l2, 1,
                                              **jump_kw)
             by_len[str(L)] = round(r_l, 1)
-            print(f"[bench] {L}bp: {r_l:.1f} reads/s (warmup {w_l:.1f}s)",
-                  file=sys.stderr)
+            print(f"[bench] {L}bp (Q={qb}): {r_l:.1f} reads/s "
+                  f"(warmup {w_l:.1f}s)", file=sys.stderr)
 
     # standing on-chip parity smoke: a sample of lanes from each device
     # engine vs the exact host engine, using the already-compiled

@@ -267,6 +267,15 @@ class _DeviceSearcher:
                         "pool" if self._link_pool else "one-shot")
         return self._link_pool
 
+    def lanes_for(self, L: int) -> int:
+        """Per-bucket lane count: the lane budget is symbol-denominated
+        (lanes x L ~ const, tuned at the 10kb shape) — at 30kb a flat
+        Q=4096 measured 29% below the base-budget Q=1280 (VALIDATION
+        r04); shorter buckets keep the configured lane count."""
+        base = self.lanes * 10_000
+        q = max(256, min(self.lanes, base // max(L, 1)))
+        return max(256, (q // 256) * 256)
+
     def dispatch(self, encoded: List[np.ndarray]):
         """Launch a device batch asynchronously; returns an opaque handle.
 
@@ -282,8 +291,10 @@ class _DeviceSearcher:
             logger.info("search: first batch for read-length bucket %d — "
                         "kernel may compile (minutes on first use; cached "
                         "afterwards)", L)
+        lanes_b = max(self.lanes_for(L),
+                      -(-len(encoded) // 256) * 256)
         padded = list(encoded)
-        while len(padded) < self.lanes:
+        while len(padded) < lanes_b:
             padded.append(np.ones(1, dtype=np.uint8))
         seqs, lens = pack_reads(padded, pad_to=L)
         # emission cap scales with the bucket length: SFS-dense 30 kb
@@ -575,7 +586,7 @@ def run_search(config: Config, index: FMDIndex,
             buckets.setdefault(b, []).append((qname, hp, enc))
             order.append((b, qname, idx))
             nreads += 1
-            if len(buckets[b]) >= config.lanes:
+            if len(buckets[b]) >= searcher.lanes_for(b):
                 flush(b)
         for b in list(buckets):
             flush(b)
