@@ -917,7 +917,12 @@ class WideWaveRun:
     def __init__(self, index: DeviceAnchorWide, params: WideParams,
                  seqs: jax.Array, lens: jax.Array, resolve_phases,
                  cap: int = 128, max_rounds: int = 0, overlap: int = -1,
-                 park_limit: int = 16):
+                 park_limit: int = 16, put=None):
+        """put: optional placement hook for per-lane state vectors —
+        the sharded (multi-chip) driver passes device_put with the
+        read-axis NamedSharding so the wave state, the park vectors the
+        host pushes back, and the output buffers all stay sharded like
+        the reads (parallel/mesh.py); None = single-device placement."""
         Q, Lp1 = seqs.shape
         if max_rounds == 0:
             max_rounds = 8 * (Lp1 - 1) + 64
@@ -926,7 +931,9 @@ class WideWaveRun:
         inread = np.arange(Lp1)[None, :] < lens_np[:, None]
         has_bad = (inread & ((seqs_np < 1) | (seqs_np > 4))).any(axis=1)
         self.index, self.params = index, params
-        self.lens = jnp.asarray(lens_np)
+        self._put = put if put is not None else jnp.asarray
+        self.lens = lens if isinstance(lens, jax.Array) \
+            else jnp.asarray(lens_np)
         self.chunks, _ = _pack_chunks2(seqs, self.lens,
                                        words_per_lane2(Lp1))
         self.resolve_phases = resolve_phases
@@ -940,6 +947,10 @@ class WideWaveRun:
                                        jnp.asarray(has_bad)))
         oq = jnp.zeros((Q, cap), dtype=jnp.int32)
         ol = jnp.zeros((Q, cap), dtype=jnp.int32)
+        if put is not None:
+            core = {k: (put(v) if getattr(v, "ndim", 0) >= 1 else v)
+                    for k, v in core.items()}
+            oq, ol = put(oq), put(ol)
         self.state = _wave_step(index, params, self.chunks, self.lens,
                                 core, oq, ol, cap=cap,
                                 max_rounds=max_rounds, overlap=overlap)
@@ -974,7 +985,7 @@ class WideWaveRun:
             # those lanes re-run whole on the exact host path
             fbv = fbv.copy()
             fbv[lanes] = True
-            self.state = (dict(core, fb=jnp.asarray(fbv)), oq, ol)
+            self.state = (dict(core, fb=self._put(fbv)), oq, ol)
             self._done = True
             return False
         self.parks[lanes] += 1
@@ -989,8 +1000,8 @@ class WideWaveRun:
         if over.any():
             fbv = fbv.copy()
             fbv[lanes[over]] = True
-        core = dict(core, mode=jnp.asarray(mode),
-                    inj_m=jnp.asarray(inj), fb=jnp.asarray(fbv))
+        core = dict(core, mode=self._put(mode),
+                    inj_m=self._put(inj), fb=self._put(fbv))
         self.state = _wave_step(self.index, self.params, self.chunks,
                                 self.lens, core, oq, ol, cap=self.cap,
                                 max_rounds=self.max_rounds,

@@ -150,3 +150,45 @@ def sharded_batch_search_anchor_wide(mesh: Mesh, index, params, seqs,
                                                  lens, axis)
     return batch_search_anchor_wide(index, params, seqs, lens, cap=cap,
                                     overlap=overlap)
+
+
+def sharded_wide_wave_run(mesh: Mesh, index, params, seqs, lens,
+                          resolve_phases, cap: int = 256,
+                          overlap: int = -1, park_limit: int = 16,
+                          axis: str = "reads"):
+    """Parked-phase wave search over a mesh-sharded read batch.
+
+    Heavy anchors PARK their lane on whatever chip holds it; between
+    waves the host pulls the (sharded) park vectors — a cross-shard
+    gather along the read axis — resolves every parked phase exactly
+    from the heavy store, and pushes the resolved statistics back with
+    the same read-axis sharding, so the relaunch stays SPMD. This is
+    the single-chip WideWaveRun loop generalized over the mesh: without
+    it, the sharded path ran one-shot (park=False) and repeat-rich
+    multi-chip batches re-created the per-read fallback storm
+    (docs/REPEAT_WIDE_r04.json). Returns the in-flight WideWaveRun."""
+    from ..ops.anchor_wide_jax import WideWaveRun
+    index, seqs, lens = shard_anchor_wide_inputs(mesh, index, seqs,
+                                                 lens, axis)
+    shard = NamedSharding(mesh, P(axis))
+
+    def put(a):
+        return jax.device_put(np.asarray(a), shard)
+
+    return WideWaveRun(index, params, seqs, lens, resolve_phases,
+                       cap=cap, overlap=overlap, park_limit=park_limit,
+                       put=put)
+
+
+def sharded_batch_search_anchor_wide_waves(mesh: Mesh, index, params,
+                                           seqs, lens, resolve_phases,
+                                           cap: int = 256,
+                                           overlap: int = -1,
+                                           park_limit: int = 16,
+                                           axis: str = "reads"
+                                           ) -> PingPongResult:
+    """Drive sharded_wide_wave_run to completion (see above)."""
+    return sharded_wide_wave_run(mesh, index, params, seqs, lens,
+                                 resolve_phases, cap=cap,
+                                 overlap=overlap, park_limit=park_limit,
+                                 axis=axis).finish()

@@ -124,3 +124,58 @@ def test_anchor_wide_engine_mesh_matches_host():
             assert merged[i] == ping_pong_search(index, enc), (n_dev, i)
     assert out[1] == out[2] == out[8]
     assert n_resolved >= 3 * len(encs) // 2   # most lanes device-resolve
+
+
+def test_anchor_wide_parked_waves_mesh_matches_oracle():
+    """Sharded parked-phase waves: a repeat-rich genome whose heavy
+    anchors would storm the one-shot sharded path must stay resident
+    and bit-exact on a mesh, identical at every mesh size and to the
+    single-device wave driver."""
+    from svdss_tpu.ops.anchor_wide import (anchor_search_wide,
+                                           build_anchor_index_wide,
+                                           make_heavy_resolver)
+    from svdss_tpu.ops.anchor_wide_jax import build_device_anchor_wide
+    from svdss_tpu.parallel.mesh import \
+        sharded_batch_search_anchor_wide_waves
+
+    from test_anchor_wide import _fwd_text, _mk_genome, _reads
+    rng = np.random.default_rng(67)
+    unit = _mk_genome(rng, 500)
+    parts = [_mk_genome(rng, 2_000)]
+    for _ in range(30):
+        c = list(unit)
+        for _ in range(len(c) // 20):
+            c[rng.integers(0, len(c))] = "ACGT"[rng.integers(0, 4)]
+        parts.append("".join(c))
+        parts.append(_mk_genome(rng, 600))
+    chroms = {"r": "".join(parts)}
+    widx = build_anchor_index_wide(_fwd_text(chroms), k=9, cmax=12)
+    assert widx.heavy_rate > 0.1
+    resolver = make_heavy_resolver(widx)
+    didx, params = build_device_anchor_wide(widx)
+    encs = _reads(rng, chroms, 16, 800)
+    seqs, lens = pack_reads(encs)
+
+    def resolve_phases(lanes, ancs, dirbs):
+        out = np.empty(len(lanes), dtype=np.int32)
+        for j, (ln, a, d) in enumerate(zip(lanes, ancs, dirbs)):
+            out[j] = resolver(encs[ln], int(a),
+                              "left" if d == 1 else "right")
+        return out
+
+    out = {}
+    for n_dev in (1, 2, 8):
+        mesh = make_mesh(n_dev)
+        res = sharded_batch_search_anchor_wide_waves(
+            mesh, didx, params, seqs, lens, resolve_phases, cap=64)
+        bad = np.asarray(res.incomplete | res.overflow)
+        merged = merge_shard_results(res, len(encs))
+        out[n_dev] = merged
+        # parking keeps most lanes live even on the sharded path
+        assert bad[:len(encs)].sum() <= len(encs) // 4
+        for i, enc in enumerate(encs):
+            if bad[i]:
+                continue
+            assert merged[i] == anchor_search_wide(
+                widx, enc, resolver=resolver), (n_dev, i)
+    assert out[1] == out[2] == out[8]
