@@ -66,15 +66,22 @@ STAGE_EVERY = 8
 # store and re-injects the matching statistic)
 KEY, SUB, POS, VER, KEYB, PARKED, RESOLVED = 0, 1, 2, 3, 4, 5, 6
 
-# mismatch-scan lowering bisect knob: the word-level scan replaced a
-# [Q, 512] per-symbol expansion; set SVDSS_WIDE_EXPAND=1 to compile the
-# expansion variant instead (identical results)
+# mismatch-scan lowering bisect knobs (identical results either way):
+# SVDSS_WIDE_EXPAND=1 forces the [Q, 512] per-symbol expansion variant,
+# SVDSS_WIDE_WORD=1 forces the word-level scan. Without a knob the
+# params.expand_scan policy picks (expansion at >= 1G forward symbols,
+# where the GIANT_WIDE_r05 bisect measured it 6.5% faster).
 import os as _os
 _EXPAND_SCAN = bool(_os.environ.get("SVDSS_WIDE_EXPAND"))
+_WORD_SCAN = bool(_os.environ.get("SVDSS_WIDE_WORD"))
 
 
 class DeviceAnchorWide(NamedTuple):
-    cnts: jax.Array       # [4^k] uint8 forward counts (saturated)
+    ct: jax.Array         # fused per-key counts, one gather instead of
+                          # two: ct16 (cmax <= 254) packs two keys per
+                          # int32 word, each 8-bit cnt_fwd | 8-bit
+                          # two-strand total (both saturated at 255);
+                          # else one int32 per key, 16|16 (sat 65535)
     aux: jax.Array        # [4^k] uint32 (pos | poslist offset | sentinel)
     pospairs: jax.Array   # [NPp, 2] uint32 poslist pairs
     bms: jax.Array        # [B, 2] int32 fused level bitmaps
@@ -103,6 +110,13 @@ class WideParams:
                                   # GRCh38-fit format): orientation A
                                   # binary-probes, orientation B scans
                                   # the bucket linearly with pair-verify
+    ct16: bool = True             # fused count table packs 8|8 bits,
+                                  # 2 keys/word (cmax <= 254); else 16|16
+    expand_scan: bool = False     # per-symbol expansion mismatch scan:
+                                  # measured 6.5% faster than the
+                                  # word-level scan at the 6.2G shape
+                                  # (GIANT_WIDE_r05 bisect); word-level
+                                  # stays the default at small scale
 
 
 def pack_text2(text: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -172,8 +186,23 @@ def build_device_anchor_wide(widx: AnchorIndexWide
             lperm = np.zeros(1, dtype=np.int32)
     else:
         lperm = np.zeros(1, dtype=np.int32)
+    # fused count table: cnt_fwd | two-strand total per key (saturated),
+    # so the KEY round's two count gathers collapse into one
+    from .anchor_wide import rc_keys
+    nk = 1 << (2 * k)
+    cf = widx.cnts.astype(np.int64)
+    tot = cf + cf[rc_keys(np.arange(nk, dtype=np.int64), k)]
+    ct16 = widx.cmax <= 254
+    if ct16:
+        ctw = (np.minimum(cf, 255)
+               | (np.minimum(tot, 255) << 8)).astype(np.uint32)
+        ct = (ctw[0::2] | (ctw[1::2] << 16)).astype(np.int32)
+    else:
+        ct = (np.minimum(cf, 65535)
+              | (np.minimum(tot, 65535) << 16)).astype(np.uint32) \
+            .view(np.int32)
     dev = DeviceAnchorWide(
-        cnts=jnp.asarray(widx.cnts),
+        ct=jnp.asarray(ct),
         aux=jnp.asarray(widx.aux),
         pospairs=jnp.asarray(pl.reshape(-1, 2)),
         bms=jnp.asarray(bms),
@@ -182,7 +211,8 @@ def build_device_anchor_wide(widx: AnchorIndexWide
         lperm=jnp.asarray(lperm))
     params = WideParams(k=k, j0=j0, cmax=widx.cmax, n=widx.n,
                         bm_bases=tuple(bm_bases), sorted_b=sorted_b,
-                        l16=l16, right_only=right_only)
+                        l16=l16, right_only=right_only, ct16=ct16,
+                        expand_scan=widx.n >= 1_000_000_000)
     return dev, params
 
 
@@ -391,11 +421,22 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
         use_meta = is_key & (maxlen >= k)
         to_sub_short = is_key & (maxlen > j0) & (maxlen < k)
 
-        # ---- count gathers (gathers 2+3, tiny rows)
-        cnt_a = index.cnts[jnp.where(use_meta, key, 0)].astype(jnp.int32)
-        cnt_b = index.cnts[jnp.where(use_meta, keyb_new, 0)
-                           ].astype(jnp.int32)
-        ctot = cnt_a + cnt_b
+        # ---- fused count gather (gather 2): one row yields the forward
+        # count AND the two-strand total (saturated) — the separate
+        # rc-key count gather is gone; cnt_b reconstructs exactly for
+        # every non-heavy key (saturation implies heavy, where cnt_b is
+        # never read)
+        if params.ct16:
+            ctw = index.ct[jnp.where(use_meta, key >> 1, 0)]
+            ctv = (jax.lax.shift_right_logical(ctw, (key & 1) * 16)
+                   & 0xFFFF)
+            cnt_a = ctv & 0xFF
+            ctot = jax.lax.shift_right_logical(ctv, 8) & 0xFF
+        else:
+            ctw = index.ct[jnp.where(use_meta, key, 0)]
+            cnt_a = ctw & 0xFFFF
+            ctot = jax.lax.shift_right_logical(ctw, 16) & 0xFFFF
+        cnt_b = ctot - cnt_a
         k_heavy = use_meta & (ctot > cmax)
         k_empty = use_meta & (ctot == 0)
         # heavy anchor: park the phase for host resolve (wave driver)
@@ -564,9 +605,10 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
             # round under pair-verify)
             mb = (x | jax.lax.shift_right_logical(x, 1)) & jnp.int32(
                 0x55555555)
-            if _EXPAND_SCAN:
-                # per-symbol expansion variant (kept env-selectable for
-                # on-chip bisection of the two lowerings)
+            if (_EXPAND_SCAN or params.expand_scan) and not _WORD_SCAN:
+                # per-symbol expansion variant (default at whole-genome
+                # scale per the GIANT_WIDE_r05 on-chip bisect; env knobs
+                # force either lowering for re-bisection)
                 cc = jax.lax.broadcasted_iota(jnp.int32, (1, SPAN2), 1)
                 rep = jnp.repeat(mb, 16, axis=1)
                 bsh = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 1)

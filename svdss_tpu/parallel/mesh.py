@@ -124,7 +124,7 @@ def shard_anchor_wide_inputs(mesh: Mesh, index, seqs, lens,
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
     index = DeviceAnchorWide(
-        cnts=jax.device_put(index.cnts, repl),
+        ct=jax.device_put(index.ct, repl),
         aux=jax.device_put(index.aux, repl),
         pospairs=jax.device_put(index.pospairs, repl),
         bms=jax.device_put(index.bms, repl),
