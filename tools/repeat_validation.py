@@ -185,7 +185,7 @@ def main() -> int:
     out["device"] = f"{dev.platform} {dev.device_kind}"
     t0 = time.time()
     didx, params = build_device_anchor_wide(widx)
-    np.asarray(didx.cnts[:1])
+    np.asarray(didx.ct[:1])
     out["hbm_tables_gb"] = round(didx.nbytes / 2**30, 2)
     out["upload_s"] = round(time.time() - t0, 1)
     print(f"[repeat] device tables {out['hbm_tables_gb']} GB "
