@@ -85,9 +85,13 @@ def _build_anchor(chroms, index_path: str, cmax: int) -> None:
     text = genome_text(chroms)
     t0 = _time.time()
     # SVDSS_TPU_WIDE_ANCHOR=1 forces the wide (forward-strand) tables
-    # below the 2^31 threshold — half the build RAM and device memory
-    # of the two-strand tables, at some rounds/read cost
-    if len(text) >= 2 ** 31 or os.environ.get("SVDSS_TPU_WIDE_ANCHOR"):
+    # below the threshold — half the build RAM and device memory of the
+    # two-strand tables, at some rounds/read cost. The threshold sits
+    # below 2^31 because the narrow oct-row meta (32 B x 4^14 = 8.6 GiB
+    # at k=14, carrying the inline verify windows) plus a ~4 B/symbol
+    # poslist exceeds one v5e's HBM past ~1.2G two-strand symbols.
+    if len(text) >= 1_200_000_000 or os.environ.get(
+            "SVDSS_TPU_WIDE_ANCHOR"):
         from .ops.anchor_wide import build_anchor_index_wide, WIDE_CMAX
         del text
         parts = []
