@@ -84,7 +84,7 @@ KEY, SUB, POS, VER = 0, 1, 2, 3
 
 
 class DeviceAnchorIndex(NamedTuple):
-    small: jax.Array        # [X, 8] int32 (meta8 ++ pos octs ++ bitmaps)
+    small: jax.Array        # [X, 4] int32 (meta4 ++ pos quads ++ bitmaps)
     text_words: jax.Array   # [nrow, 32] int32 nibble-packed span rows
 
 
@@ -114,85 +114,55 @@ def pack_text_words(text: np.ndarray) -> np.ndarray:
     return words.astype(np.int32)
 
 
-INLINE_W = 32     # inline verify window (symbols) carried per meta row
-
-
 def build_device_anchor(aidx: AnchorIndex
                         ) -> Tuple[DeviceAnchorIndex, AnchorParams]:
-    """Oct-row fused table: every row is 8 int32, so one [Q, 8] gather
-    per round serves every lane mode, the meta row carries enough
-    chained state that the old second (chained) gather is gone, and it
-    carries a 32-symbol INLINE VERIFY WINDOW — the text following the
-    first occurrence — so most chained KEY verifies never touch the
-    text table at all (the text-row gather was 56% of round time at
-    the bench shape, round-5 xplane profile; row gathers are
-    transaction-bound, so doubling the row width is ~free):
+    """Quad-row fused table: every row is 4 int32, so one [Q, 4] gather
+    per round serves every lane mode, and the meta row carries enough
+    chained state that the old second (chained) gather is gone:
 
-      meta rows [0, 4^k):  (cnt, aux, x0, x1, t0, t1, t2, t3) —
+      meta rows [0, 4^k):  (cnt, aux, x0, x1) —
           cnt == 0: x0 = presence bit of the (k-1)-prefix (1 when
                     k-1 <= j0), so an absent k-mer resolves its SUB
                     step with no extra gather at all
           cnt == 1: aux = the single occurrence position
           cnt >= 2: aux = poslist offset; x0/x1 = occ0/occ1 inline
                     (the second occurrence verifies with no POS round)
-          cnt >= 1: t0..t3 = nibble-packed text[p+k, p+k+32) where p
-                    is the occurrence the chained verify compares
-                    (aux when single, occ0 when multi); out-of-text
-                    positions pack as 0 (compare miss), matching
-                    pack_text_words' padding convention
-      pos rows  [pos_base, ..): eight positions per row
-      bm rows   [bm_bases_j, ..): eight uint32 bitmap words per row
+      pos rows  [pos_base, ..): four positions per row
+      bm rows   [bm_bases_j, ..): four uint32 bitmap words per row
     """
     k, j0 = aidx.k, aidx.j0
     nk = 4 ** k
-    n = aidx.n
-    text = aidx.text
     counts = aidx.meta[:, 0].astype(np.int64)
     auxm = aidx.meta[:, 1]
-    meta8 = np.zeros((nk, 8), dtype=np.int32)
-    meta8[:, 0] = aidx.meta[:, 0]
-    meta8[:, 1] = auxm
+    meta4 = np.zeros((nk, 4), dtype=np.int32)
+    meta4[:, 0] = aidx.meta[:, 0]
+    meta4[:, 1] = auxm
     multi = counts >= 2
     off = auxm[multi].astype(np.int64)
-    meta8[multi, 2] = aidx.poslist[off]
-    meta8[multi, 3] = aidx.poslist[off + 1]
+    meta4[multi, 2] = aidx.poslist[off]
+    meta4[multi, 3] = aidx.poslist[off + 1]
     empty = counts == 0
     if k - 1 > j0:
         bm = aidx.levels[k - 1]
         pref = np.nonzero(empty)[0] >> 2          # first k-1 symbols
-        meta8[empty, 2] = (bm[pref >> 5] >> (pref & 31)) & 1
+        meta4[empty, 2] = (bm[pref >> 5] >> (pref & 31)) & 1
     else:
-        meta8[empty, 2] = 1                       # all (k-1)-mers occur
-    # inline verify windows (chunked: the position expansion is
-    # 32 x 8 B per present key)
-    present = np.nonzero(counts >= 1)[0]
-    occf = auxm.astype(np.int64).copy()
-    occf[multi] = aidx.poslist[off]               # first occurrence
-    shifts = (np.arange(8, dtype=np.uint32) * 4)
-    for lo in range(0, len(present), 1 << 23):
-        keys_b = present[lo:lo + (1 << 23)]
-        npos = (occf[keys_b] + k)[:, None] + np.arange(INLINE_W)[None, :]
-        valid = npos < n
-        symw = np.where(valid, text[np.clip(npos, 0, n - 1)],
-                        0).astype(np.uint32)
-        words = (symw.reshape(-1, 4, 8) << shifts[None, None, :]) \
-            .sum(axis=2, dtype=np.uint32)
-        meta8[keys_b, 4:8] = words.view(np.int32)
-    parts = [meta8]
+        meta4[empty, 2] = 1                       # all (k-1)-mers occur
+    parts = [meta4]
     pos_base = nk
     pl = aidx.poslist
-    if len(pl) % 8:
-        pl = np.concatenate([pl, np.zeros((-len(pl)) % 8,
+    if len(pl) % 4:
+        pl = np.concatenate([pl, np.zeros((-len(pl)) % 4,
                                           dtype=pl.dtype)])
-    parts.append(pl.reshape(-1, 8).astype(np.int32))
+    parts.append(pl.reshape(-1, 4).astype(np.int32))
     row = pos_base + len(parts[-1])
     bm_bases = []
     for j in range(j0 + 1, k):
         bm = aidx.levels[j]
-        if len(bm) % 8:
-            bm = np.concatenate([bm, np.zeros((-len(bm)) % 8,
+        if len(bm) % 4:
+            bm = np.concatenate([bm, np.zeros((-len(bm)) % 4,
                                               dtype=bm.dtype)])
-        parts.append(bm.reshape(-1, 8).view(np.int32))
+        parts.append(bm.reshape(-1, 4).view(np.int32))
         bm_bases.append(row)
         row += len(parts[-1])
     small = np.concatenate(parts)
@@ -302,10 +272,6 @@ def _lane_reset(Q: int, lens: jax.Array) -> dict:
         p1=jnp.zeros(Q, dtype=jnp.int32),
         p2=jnp.zeros(Q, dtype=jnp.int32),
         p3=jnp.zeros(Q, dtype=jnp.int32),
-        p4=jnp.zeros(Q, dtype=jnp.int32),
-        p5=jnp.zeros(Q, dtype=jnp.int32),
-        p6=jnp.zeros(Q, dtype=jnp.int32),
-        p7=jnp.zeros(Q, dtype=jnp.int32),
         occ1c=jnp.zeros(Q, dtype=jnp.int32),
         occ_pos=jnp.zeros(Q, dtype=jnp.int32),
         ext=jnp.zeros(Q, dtype=jnp.int32),
@@ -401,34 +367,27 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         use_meta = is_key & clean & (maxlen >= k)
         to_sub_short = is_key & clean & (maxlen > j0) & (maxlen < k)
 
-        # ---- small-table gather (gather 2, OCT rows): one [Q, 8]
-        # gather serves every lane mode — meta for KEY (with occ0/occ1,
-        # the (k-1)-prefix presence bit, and the 32-symbol inline
-        # verify window, see build_device_anchor), eight-position rows
-        # for POS, eight bitmap words for SUB. The old chained second
-        # gather is gone; row gathers are transaction-bound on this
-        # hardware so the 32-byte row costs what the 16-byte row did.
+        # ---- small-table gather (gather 2, QUAD rows): one [Q, 4]
+        # gather serves every lane mode — meta for KEY (with occ0/occ1
+        # and the (k-1)-prefix presence bit inline, see
+        # build_device_anchor), four-position rows for POS, four bitmap
+        # words for SUB. The old chained second gather is gone.
         key_j = jax.lax.shift_right_logical(
             s["key"], 2 * (k - jnp.clip(s["subj"], 1, k)))
         w_idx = jax.lax.shift_right_logical(key_j, 5)
-        bm_row = bm_bases[jnp.clip(s["subj"], 0, k - 1)] + (w_idx >> 3)
-        pos_row = params.pos_base + ((s["aux"] + s["occ_i"]) >> 3)
+        bm_row = bm_bases[jnp.clip(s["subj"], 0, k - 1)] + (w_idx >> 2)
+        pos_row = params.pos_base + ((s["aux"] + s["occ_i"]) >> 2)
         srow_idx = jnp.where(use_meta, key,
                              jnp.where(is_sub, bm_row,
                                        jnp.where(is_pos, pos_row, 0)))
         srow = index.small[jnp.clip(srow_idx, 0, index.small.shape[0] - 1)]
         s0, s1, s2, s3 = (srow[:, 0], srow[:, 1], srow[:, 2], srow[:, 3])
-        s4, s5, s6, s7 = (srow[:, 4], srow[:, 5], srow[:, 6], srow[:, 7])
 
-        def oct_sel(sel):
-            """srow slot picked by the low 3 bits of sel."""
-            ab = jnp.where((sel & 1) == 1, s1, s0)
-            cd = jnp.where((sel & 1) == 1, s3, s2)
-            ef = jnp.where((sel & 1) == 1, s5, s4)
-            gh = jnp.where((sel & 1) == 1, s7, s6)
-            lo = jnp.where((sel & 2) == 2, cd, ab)
-            hi = jnp.where((sel & 2) == 2, gh, ef)
-            return jnp.where((sel & 4) == 4, hi, lo)
+        def quad_sel(sel):
+            """srow slot picked by the low 2 bits of sel."""
+            lo = jnp.where((sel & 1) == 1, s1, s0)
+            hi = jnp.where((sel & 1) == 1, s3, s2)
+            return jnp.where((sel & 2) == 2, hi, lo)
 
         # ---- KEY dispatch from the meta row
         cnt_k, aux_k = s0, s1
@@ -449,7 +408,7 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
 
         # ---- POS row resolution (row-cache misses during iteration)
         pos_take = is_pos
-        occ_from_row = oct_sel(s["aux"] + s["occ_i"])
+        occ_from_row = quad_sel(s["aux"] + s["occ_i"])
 
         # lanes comparing text this round, and against which occurrence
         chained = k_single | k_multi | pos_take
@@ -463,20 +422,16 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         cnt_eff = jnp.where(use_meta, cnt_k, s["cnt"])
         best_eff = jnp.where(is_key, 0, s["best"])
         aux_eff = jnp.where(use_meta, aux_k, s["aux"])
-        # oct-row cache: POS rounds remember their eight positions;
+        # quad-row cache: POS rounds remember their four positions;
         # KEY-multi lanes carry occ1 inline instead (occ1c)
         prow_eff = jnp.where(k_multi, jnp.int32(-1),
                              jnp.where(pos_take,
-                                       (s["aux"] + s["occ_i"]) >> 3,
+                                       (s["aux"] + s["occ_i"]) >> 2,
                                        s["prow"]))
         p0_eff = jnp.where(pos_take, s0, s["p0"])
         p1_eff = jnp.where(pos_take, s1, s["p1"])
         p2_eff = jnp.where(pos_take, s2, s["p2"])
         p3_eff = jnp.where(pos_take, s3, s["p3"])
-        p4_eff = jnp.where(pos_take, s4, s["p4"])
-        p5_eff = jnp.where(pos_take, s5, s["p5"])
-        p6_eff = jnp.where(pos_take, s6, s["p6"])
-        p7_eff = jnp.where(pos_take, s7, s["p7"])
         occ1c_eff = jnp.where(k_multi, s3, s["occ1c"])
         # chained lanes gathered their read row at u, so their compare
         # origin sits k symbols into the span
@@ -484,24 +439,14 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
 
         # ---- text-row gather (gather 4) + verify compare: align the
         # text span to the read span's phase, then nibble-XOR; the first
-        # mismatch offset (relative to cmp_off) bounds this round's run.
-        # Chained KEY verifies (k_single | k_multi) compare against the
-        # 32-symbol window riding the meta row instead — no text gather
-        # (those lanes gather text row 0, which stays cache-hot); a
-        # match running past the window continues as a normal VER round.
-        inline_ver = k_single | k_multi
+        # mismatch offset (relative to cmp_off) bounds this round's run
         tstart = occ_eff + k + ext_eff
         tr = jnp.clip(tstart >> 7, 0, index.text_words.shape[0] - 1)
-        need_text = ver_like & ~inline_ver
         if "text" in ablate:
             trow = chunk ^ tr[:, None]
         else:
-            trow = index.text_words[jnp.where(need_text, tr, 0)]  # [Q, 32]
-        inl = jnp.concatenate(
-            [jnp.stack([s4, s5, s6, s7], axis=1),
-             jnp.zeros((Q, SPAN_W - 4), dtype=jnp.int32)], axis=1)
-        trow = jnp.where(inline_ver[:, None], inl, trow)
-        col_t = jnp.where(inline_ver, 0, tstart - (tr << 7))
+            trow = index.text_words[jnp.where(ver_like, tr, 0)]  # [Q, 32]
+        col_t = tstart - (tr << 7)
         if "funnel" in ablate:
             shifted = trow ^ (col_t - cmp_off)[:, None]
         else:
@@ -533,10 +478,8 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
             nj = jnp.where(bit, j, nj)
         first = jnp.where(firstw >= SPAN_W, jnp.int32(SPAN),
                           firstw * 8 + nj - cmp_off)
-        # the whole valid tail of both spans counts, not just 128;
-        # inline windows carry exactly INLINE_W symbols
-        run_valid = jnp.where(inline_ver, jnp.int32(INLINE_W),
-                              SPAN - jnp.maximum(cmp_off, col_t))
+        # the whole valid tail of both spans counts, not just 128
+        run_valid = SPAN - jnp.maximum(cmp_off, col_t)
         vcap = maxlen - k
         run_cap = vcap - ext_eff
         run = jnp.minimum(jnp.minimum(first, run_valid), run_cap)
@@ -552,21 +495,18 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         # next occurrence: occ 1 is inline in the meta row (occ1c);
         # beyond that, reuse the cached poslist quad when possible
         occ_i2 = jnp.where(more_occ, occ_i_eff + 1, occ_i_eff)
-        nrow_idx = (aux_eff + occ_i2) >> 3
+        nrow_idx = (aux_eff + occ_i2) >> 2
         from_inline = more_occ & (occ_i2 == 1)
         cached = more_occ & (from_inline | (nrow_idx == prow_eff))
         sel2 = aux_eff + occ_i2
-        oc_ab = jnp.where((sel2 & 1) == 1, p1_eff, p0_eff)
-        oc_cd = jnp.where((sel2 & 1) == 1, p3_eff, p2_eff)
-        oc_ef = jnp.where((sel2 & 1) == 1, p5_eff, p4_eff)
-        oc_gh = jnp.where((sel2 & 1) == 1, p7_eff, p6_eff)
-        oc_lo = jnp.where((sel2 & 2) == 2, oc_cd, oc_ab)
-        oc_hi = jnp.where((sel2 & 2) == 2, oc_gh, oc_ef)
-        occ_oct = jnp.where((sel2 & 4) == 4, oc_hi, oc_lo)
-        occ_from_cache = jnp.where(from_inline, occ1c_eff, occ_oct)
+        occ_quad = jnp.where(
+            (sel2 & 2) == 2,
+            jnp.where((sel2 & 1) == 1, p3_eff, p2_eff),
+            jnp.where((sel2 & 1) == 1, p1_eff, p0_eff))
+        occ_from_cache = jnp.where(from_inline, occ1c_eff, occ_quad)
 
         # ---- SUB resolution
-        bm_word = oct_sel(w_idx)
+        bm_word = quad_sel(w_idx)
         bit_set = (jax.lax.shift_right_logical(bm_word, key_j & 31)
                    & 1) == 1
         sub_present = is_sub & bit_set
@@ -651,8 +591,7 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         out.update(rounds=s["rounds"] + 1, active=active2, fb=fb2,
                    dirb=dir2, mode=mode2, anc=anc2, key=key2, subj=subj2,
                    cnt=cnt2, aux=aux2, occ_i=occ2, prow=prow2, p0=p0_eff,
-                   p1=p1_eff, p2=p2_eff, p3=p3_eff, p4=p4_eff,
-                   p5=p5_eff, p6=p6_eff, p7=p7_eff, occ1c=occ1c_eff,
+                   p1=p1_eff, p2=p2_eff, p3=p3_eff, occ1c=occ1c_eff,
                    occ_pos=occ_pos2, ext=ext2, best=best2,
                    nstage=nstage, stage_qs=stage_qs, stage_l=stage_l,
                    age=age2, done_r=done_r2)
