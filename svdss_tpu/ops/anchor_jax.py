@@ -72,10 +72,13 @@ import numpy as np
 from .anchor import AnchorIndex
 from .pingpong_jax import PingPongResult
 
-SPAN = 256        # symbols per span row
-STRIDE = 128      # span stride in symbols
-SPAN_W = 32       # int32 words per span row
-VER_SPAN = 128    # minimum guaranteed symbols compared per VER round
+SPAN = 128        # symbols per span row (read AND text; the round-5
+                  # on-chip A/B measured 64-byte rows faster than the
+                  # original 128-byte rows for the text gather, and the
+                  # O(W^2) funnel shift drops 4x at 16 words)
+STRIDE = 64       # span stride in symbols
+SPAN_W = 16       # int32 words per span row
+VER_SPAN = 64     # minimum guaranteed symbols compared per VER round
 STAGE = 8         # emission staging slots
 STAGE_EVERY = 8   # rounds between staging merges (>= STAGE/1 emits/round)
 
@@ -99,9 +102,11 @@ class AnchorParams:
 
 
 def pack_text_words(text: np.ndarray) -> np.ndarray:
-    """nt6 uint8 [n] -> [nrow, 32] int32 span rows: row m holds the 256
-    symbols from 128*m, nibble-packed (position p of a span in word p>>3,
-    nibble p&7). Out-of-range reads land in zero padding (compare miss)."""
+    """nt6 uint8 [n] -> [nrow, 16] int32 text rows: row m holds the 128
+    symbols from 64*m, nibble-packed (position p of a row in word p>>3,
+    nibble p&7). Out-of-range reads land in zero padding (compare miss).
+    Rows overlap 2x (stride 64) so any in-text start sees >= 64 valid
+    symbols; total bytes match the old 256/128 layout."""
     n = len(text)
     nrow = n // STRIDE + 1
     sym = np.zeros((nrow + 1) * STRIDE, dtype=np.uint8)
@@ -207,9 +212,9 @@ def _select_sym(span: jax.Array, off: jax.Array) -> jax.Array:
 
 
 def words_per_lane(lp1: int) -> int:
-    """Flat packed word count per read side (multiple of 16 so the span
+    """Flat packed word count per read side (multiple of 8 so the span
     view covers the whole read plus slack)."""
-    return 16 * ((lp1 + 127) // 128 + 1)
+    return 8 * ((lp1 + 63) // 64 + 1)
 
 
 def pack_read_words(seqs: jax.Array, lens: jax.Array, wlp: int
@@ -242,16 +247,16 @@ def pack_read_words(seqs: jax.Array, lens: jax.Array, wlp: int
 
 
 def derive_chunks(words: jax.Array) -> jax.Array:
-    """[Q, 2, wlp] flat words -> [Q, 2, nwm, 32] overlapping span rows:
-    row m covers words [16m, 16m + 32) = symbols [128m, 128m + 256)."""
+    """[Q, 2, wlp] flat words -> [Q, 2, nwm, 16] overlapping span rows:
+    row m covers words [8m, 8m + 16) = symbols [64m, 64m + 128)."""
     q, two, wlp = words.shape
-    w16 = words.reshape(q, two, wlp // 16, 16)
-    return jnp.concatenate([w16[:, :, :-1, :], w16[:, :, 1:, :]], axis=3)
+    w8 = words.reshape(q, two, wlp // 8, 8)
+    return jnp.concatenate([w8[:, :, :-1, :], w8[:, :, 1:, :]], axis=3)
 
 
 def chunk_rows(lp1: int) -> int:
     """Span rows per read side for a given padded width."""
-    return words_per_lane(lp1) // 16 - 1
+    return words_per_lane(lp1) // 8 - 1
 
 
 def _lane_reset(Q: int, lens: jax.Array) -> dict:
@@ -333,8 +338,8 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         # Side 1 stores comp(flip(padded read)) — logical RC position x
         # sits at packed x + W8 - len (see pack_read_words)
         rstart = jnp.where(is_ver, u + k + s["ext"], u)
-        rstart = rstart + jnp.where(is_b, (nwm + 1) * 128 - lens, 0)
-        m_r = jnp.clip(rstart >> 7, 0, nwm - 1)
+        rstart = rstart + jnp.where(is_b, (nwm + 1) * 64 - lens, 0)
+        m_r = jnp.clip(rstart >> 6, 0, nwm - 1)
         merged = chunks.reshape(Q, 2 * nwm, SPAN_W)
         row = dirb * nwm + m_r
         if "read" in ablate:       # cost-ablation probe (tools only)
@@ -342,7 +347,7 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         else:
             chunk = jnp.take_along_axis(merged, row[:, None, None],
                                         axis=1)[:, 0]      # [Q, 32]
-        col_a = rstart - (m_r << 7)
+        col_a = rstart - (m_r << 6)
 
         # ---- KEY: k symbols P'[u..u+k-1] from the span row
         # key digit i = symbol P'[u + k-1-i] (build convention: window
@@ -438,15 +443,18 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
         cmp_off = jnp.where(is_ver, col_a, col_a + k)
 
         # ---- text-row gather (gather 4) + verify compare: align the
-        # text span to the read span's phase, then nibble-XOR; the first
-        # mismatch offset (relative to cmp_off) bounds this round's run
+        # 64-byte text row to the read span's phase, then nibble-XOR;
+        # the first mismatch offset (relative to cmp_off) bounds this
+        # round's run. The text row is zero-extended to the read span's
+        # 32 words; run_valid caps the compare at the row's 128 symbols
+        # and longer matches continue as VER rounds.
         tstart = occ_eff + k + ext_eff
-        tr = jnp.clip(tstart >> 7, 0, index.text_words.shape[0] - 1)
+        tr = jnp.clip(tstart >> 6, 0, index.text_words.shape[0] - 1)
         if "text" in ablate:
             trow = chunk ^ tr[:, None]
         else:
-            trow = index.text_words[jnp.where(ver_like, tr, 0)]  # [Q, 32]
-        col_t = tstart - (tr << 7)
+            trow = index.text_words[jnp.where(ver_like, tr, 0)]  # [Q, 16]
+        col_t = tstart - (tr << 6)
         if "funnel" in ablate:
             shifted = trow ^ (col_t - cmp_off)[:, None]
         else:
@@ -478,7 +486,7 @@ def _make_round_body(index: DeviceAnchorIndex, params: AnchorParams,
             nj = jnp.where(bit, j, nj)
         first = jnp.where(firstw >= SPAN_W, jnp.int32(SPAN),
                           firstw * 8 + nj - cmp_off)
-        # the whole valid tail of both spans counts, not just 128
+        # the whole valid tail of both spans counts
         run_valid = SPAN - jnp.maximum(cmp_off, col_t)
         vcap = maxlen - k
         run_cap = vcap - ext_eff

@@ -49,7 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .anchor_jax import (AnchorParams, DeviceAnchorIndex, STAGE,
+from .anchor_jax import (AnchorParams, DeviceAnchorIndex, SPAN_W, STAGE,
                          STAGE_EVERY, _lane_reset, _make_round_body,
                          _merge_stage, chunk_rows, derive_chunks,
                          words_per_lane)
@@ -252,11 +252,11 @@ class AnchorPool:
         st["stage_at"] = z(fill=0)
         st["out_qs"] = z(Q, cap)
         st["out_l"] = z(Q, cap)
-        st["chunks"] = z(Q, 2, nwm, 32)
+        st["chunks"] = z(Q, 2, nwm, SPAN_W)
         st["lens"] = z(Q)
         st["budget"] = z(Q)
         st["ord"] = z(Q, fill=-1)
-        st["rv_chunks"] = z(RV, 2, nwm, 32)
+        st["rv_chunks"] = z(RV, 2, nwm, SPAN_W)
         st["rv_lens"] = z(RV)
         st["rv_ord"] = z(RV, fill=-1)
         st["res_head"] = z(fill=0)
