@@ -145,6 +145,37 @@ def eligible_reads_fastx(path: str) -> Iterator[Tuple[str, str, int]]:
                 yield h[1:].split()[0], s, 0
 
 
+def wide_engine_cost(anchor):
+    """Gather-cost estimates (anchor_gathers_per_phase, fm_gathers_per
+    _phase, pw_depth) for the wide-engine-vs-FM routing decision.
+
+    Search wall on this hardware ~= row-gathers/read x ~45 ns
+    (VALIDATION r05). Per phase the anchor engine pays the 3-gather KEY
+    chain plus ~2*log2(depth) probe gathers per orientation on
+    right-sorted buckets (linear ~1.5*depth for orientation B on
+    right-order-only tables) plus a parked-wave surcharge on heavy
+    phases; depth is the POSITION-WEIGHTED kept-bucket size (family
+    repeats dominate it: ~1.7k on the 1.2G human-density genome vs ~12
+    on random text at 6.2G). The FM walk pays ~2 gathers per matched
+    symbol. Calibration anchors: 6.2G random — anchor 576 vs FM 528
+    reads/s (model 27 vs 36); 1.2G repeat — anchor 139-164 vs FM ~530
+    (model ~90 vs 35). GIANT_WIDE_r05 / REPEAT_WIDE_r05 / GIANT_r02."""
+    import math
+    kept = anchor.aux != 0xFFFFFFFF
+    c = np.where(kept, anchor.cnts, 0).astype(np.int64)
+    depth = max(2.0, float((c * c).sum()) / max(1, int(c.sum())))
+    probes = 2.0 * math.log2(depth)
+    b_cost = probes if anchor.leftidx is not None else 1.5 * depth
+    hr_eff = max(getattr(anchor, "heavy_rate", 0.0), 0.0)
+    # parked-wave surcharge: REPEAT_WIDE_r05 resolved 9.3k phases over
+    # 32 waves for 4096 reads; each wave costs ~2 link RTTs + a
+    # low-occupancy relaunch — ~500 gather-equivalents per heavy phase
+    anchor_gpp = 3.0 + probes + b_cost + hr_eff * 500.0
+    fm_gpp = 2.0 * (math.log(2.0 * anchor.n, 4.0) + 2.0)
+    return anchor_gpp, fm_gpp, depth
+
+
+
 class _DeviceSearcher:
     """Length-bucketed batching onto the lockstep device kernel.
 
@@ -185,23 +216,41 @@ class _DeviceSearcher:
                 make_heavy_resolver
             if isinstance(anchor, AnchorIndexWide):
                 self.heavy_resolver = make_heavy_resolver(anchor)
-        # with deep-residency tables (cmax 65534) heavy_rate IS the
-        # satellite share: REPEAT_WIDE_r04c measured the parked-wave
-        # anchor engine at 164 reads/s vs the FM engine's ~530 class on
-        # a 3.1%-satellite 1.2G genome, so satellites past ~2% still
-        # route to FM; family-repeat genomes below that stay on the
-        # (resident, exact) anchor engine. Legacy no-store tables keep
-        # the stricter read-fallback-storm gate.
-        hr_gate = 0.02 if self.heavy_resolver is not None else 0.05
-        if use_anchor and config.engine == "auto" and hr > hr_gate:
-            logger.warning(
-                "search: anchor tables report %.1f%% phase-heavy rate "
-                "(repeat-rich genome) — %s; using the FM device engine "
-                "instead (--engine anchor to override)", 100 * hr,
-                "even per-phase host resolve would dominate"
-                if self.heavy_resolver is not None else
-                "most reads would fall back")
-            use_anchor = False
+        # Engine cost model (round 5; replaces the blunt satellite-share
+        # gate). On this hardware search wall ~= row-gathers/read x
+        # ~45 ns (VALIDATION r05), so compare per-PHASE gather
+        # estimates: the anchor engine pays the KEY chain plus
+        # ~2*log2(depth) probe gathers per orientation (right-sorted
+        # buckets; linear ~1.5*depth for orientation B on
+        # right-order-only tables) plus a parked-wave surcharge on
+        # heavy phases, where depth is the POSITION-WEIGHTED kept-bucket
+        # size (family repeats dominate it: 1.2G human-density genome
+        # measures ~1.7k vs ~12 on random text at the same scale). The
+        # FM walk pays ~2 gathers per matched symbol. Measured
+        # anchors: 6.2G random (depth ~12): anchor 576 vs FM 528
+        # reads/s — model 27 vs 36 gathers/phase; 1.2G repeat (depth
+        # ~1.7k): anchor ~139-164 vs FM ~530 — model ~90 vs 35
+        # (GIANT_WIDE_r05 / REPEAT_WIDE_r05 / GIANT_r02).
+        if use_anchor and config.engine == "auto" and anchor is not None:
+            from ..ops.anchor_wide import AnchorIndexWide
+            if isinstance(anchor, AnchorIndexWide):
+                anchor_gpp, fm_gpp, depth = wide_engine_cost(anchor)
+                if anchor_gpp > fm_gpp:
+                    logger.warning(
+                        "search: engine cost model picks FM — anchor "
+                        "~%.0f gathers/phase (pw bucket depth %.0f, "
+                        "heavy rate %.1f%%) vs FM ~%.0f; --engine "
+                        "anchor to override", anchor_gpp, depth,
+                        100 * max(hr, 0.0), fm_gpp)
+                    use_anchor = False
+            elif hr > 0.05:
+                # narrow tables lack the heavy store: fallback-storm gate
+                logger.warning(
+                    "search: anchor tables report %.1f%% phase-heavy "
+                    "rate — most reads would fall back; using the FM "
+                    "device engine (--engine anchor to override)",
+                    100 * hr)
+                use_anchor = False
         self.wide = False
         if use_anchor:
             from ..ops.anchor_wide import AnchorIndexWide

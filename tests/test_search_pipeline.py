@@ -182,3 +182,33 @@ def test_search_wide_waves_park_and_resolve(pipeline_data):
                           index, bam=smoothed, anchor=widx)
     assert [(q, [(s.qs, s.l, s.htag) for s in g])
             for q, g in a_groups] == host_norm
+
+
+def test_engine_cost_model_gate():
+    """The auto-engine gate compares gather-cost estimates: clean
+    genomes favor the wide anchor engine; satellite-heavy genomes
+    (position-weighted bucket depth in the thousands) route to FM
+    (REPEAT_WIDE_r05 vs GIANT_WIDE_r05 measured rationale)."""
+    import numpy as np
+    from svdss_tpu.ops.anchor_wide import build_anchor_index_wide
+    from svdss_tpu.pipeline.search import wide_engine_cost
+
+    from test_anchor_wide import _fwd_text, _mk_genome
+    rng = np.random.default_rng(17)
+    clean = {"c": _mk_genome(rng, 60_000)}
+    w_clean = build_anchor_index_wide(_fwd_text(clean), k=9, cmax=64)
+    a_gpp, fm_gpp, depth = wide_engine_cost(w_clean)
+    assert depth < 4 and a_gpp < fm_gpp        # anchor engine wins
+
+    unit = _mk_genome(rng, 171)
+    parts = []
+    for _ in range(400):                 # satellite-dominated genome
+        c = list(unit)
+        for _ in range(5):
+            c[rng.integers(0, len(c))] = "ACGT"[rng.integers(0, 4)]
+        parts.append("".join(c))
+    parts.append(_mk_genome(rng, 10_000))
+    sat = {"s": "".join(parts)}
+    w_sat = build_anchor_index_wide(_fwd_text(sat), k=8, cmax=2000)
+    a2, fm2, depth2 = wide_engine_cost(w_sat)
+    assert depth2 > 50 and a2 > fm2            # FM engine wins
