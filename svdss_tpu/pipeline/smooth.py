@@ -27,6 +27,7 @@ the sequence, but the CIGAR records I before the M that includes the fill.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Tuple
 
@@ -289,35 +290,59 @@ def _native_smooth(config: Config, chroms: Dict[str, str], bam_path: str,
             threshold = percentile(rl, config.accp)
         logger.info("smooth: max allowed mismatch ratio %.5f", threshold)
 
-        outp = ctypes.c_void_p()
-        outsz = ctypes.c_int64()
-        stats_a = np.zeros(5, dtype=np.int64)
-        rc = lib.svdss_smooth_run(
-            datap, len(buf), recs64, nrecs,
-            ref_buf.ctypes.data_as(P8), ref_off.ctypes.data_as(P64),
-            ref_len.ctypes.data_as(P64), ctypes.c_int32(len(header.names)),
-            ctypes.c_double(threshold), ctypes.c_int32(config.min_mapq),
-            ctypes.c_int32(config.min_indel_length),
-            ctypes.c_int(max(1, config.threads)),
-            ctypes.byref(outp), ctypes.byref(outsz),
-            stats_a.ctypes.data_as(P64))
-        if rc != 0:
+        # header part first (create, no EOF); record chunks append and
+        # the last one adds the EOF block. level-1: intermediate
+        # artifact read back only by us. The rewrite runs over BOUNDED
+        # record slices — a single whole-file pass held the full
+        # rewritten stream (and its growth reallocations) in RAM and
+        # OOM-killed the 1 Gbp / 30x run (raw BAM ~26 GB, peak >120 GB)
+        hdr = _header_bytes(header)
+        hbuf = np.frombuffer(hdr, dtype=np.uint8)
+        if lib.svdss_bgzf_write(out_path.encode(),
+                                hbuf.ctypes.data_as(P8), len(hdr),
+                                1, max(1, config.threads), 2) != 0:
             return None
-        try:
-            # header part (no EOF), then the record stream (append + EOF);
-            # level-1: intermediate artifact read back only by us
-            hdr = _header_bytes(header)
-            hbuf = np.frombuffer(hdr, dtype=np.uint8)
-            if lib.svdss_bgzf_write(out_path.encode(),
-                                    hbuf.ctypes.data_as(P8), len(hdr),
-                                    1, max(1, config.threads), 2) != 0:
-                return None
-            if lib.svdss_bgzf_write(out_path.encode(),
-                                    ctypes.cast(outp, P8), outsz,
-                                    1, max(1, config.threads), 1) != 0:
-                return None
-        finally:
-            lib.svdss_free(outp)
+        stats_a = np.zeros(5, dtype=np.int64)
+        n_all = int(nrecs.value)
+        CHUNK = int(os.environ.get("SVDSS_SMOOTH_CHUNK", 200_000))
+        done = 0
+        while done < n_all or n_all == 0:
+            cnt = min(CHUNK, n_all - done)
+            outp = ctypes.c_void_p()
+            outsz = ctypes.c_int64()
+            stats_c = np.zeros(5, dtype=np.int64)
+            if cnt:
+                rec_at = ctypes.cast(
+                    ctypes.addressof(recs64.contents) + done * 64, P64)
+                rc = lib.svdss_smooth_run(
+                    datap, len(buf), rec_at, cnt,
+                    ref_buf.ctypes.data_as(P8),
+                    ref_off.ctypes.data_as(P64),
+                    ref_len.ctypes.data_as(P64),
+                    ctypes.c_int32(len(header.names)),
+                    ctypes.c_double(threshold),
+                    ctypes.c_int32(config.min_mapq),
+                    ctypes.c_int32(config.min_indel_length),
+                    ctypes.c_int(max(1, config.threads)),
+                    ctypes.byref(outp), ctypes.byref(outsz),
+                    stats_c.ctypes.data_as(P64))
+                if rc != 0:
+                    return None
+            done += cnt
+            try:
+                flags = 1 if done >= n_all else 3   # EOF on last chunk
+                if lib.svdss_bgzf_write(out_path.encode(),
+                                        ctypes.cast(outp, P8),
+                                        outsz, 1,
+                                        max(1, config.threads),
+                                        flags) != 0:
+                    return None
+            finally:
+                if cnt:
+                    lib.svdss_free(outp)
+            stats_a += stats_c
+            if n_all == 0:
+                break
     finally:
         lib.svdss_free(recsp)
     stats = {0: int(stats_a[0]), 1: int(stats_a[1]), 2: int(stats_a[2]),

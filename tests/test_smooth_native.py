@@ -87,3 +87,40 @@ def test_native_dirty_reads_and_unknown_chrom(tmp_path, rng):
     assert stats_nat == stats_py
     assert stats_nat["dropped"] > 0
     assert _records(str(nat_out)) == _records(str(py_out))
+
+
+def test_native_smooth_chunked_matches_single_pass(tmp_path, monkeypatch):
+    """The bounded-memory chunked rewrite (record slices + appended
+    BGZF parts) must produce a byte-identical smoothed BAM to one
+    whole-file pass — chunk boundaries land mid-stream."""
+    import numpy as np
+    from svdss_tpu.config import Config
+    from svdss_tpu.pipeline.smooth import run_smooth
+    from svdss_tpu.utils.simulate import (make_haplotype, random_genome,
+                                          simulate_reads)
+    from svdss_tpu.io.bam import BamHeader, BamWriter
+    rng = np.random.default_rng(3)
+    chroms = random_genome(rng, {"c1": 30_000})
+    hap = make_haplotype(rng, "c1", chroms["c1"], n_ins=2, n_del=2,
+                         min_len=60, max_len=120)
+    recs = simulate_reads(rng, [hap], coverage=4, read_len=2_000)
+    bam = str(tmp_path / "in.bam")
+    header = BamHeader.from_refs([("c1", len(chroms["c1"]))])
+    with BamWriter(bam, header) as w:
+        for rec in recs:
+            rec.tid = 0
+            w.write(rec)
+    cfg = Config(threads=2)
+    out_a = str(tmp_path / "a.bam")
+    out_b = str(tmp_path / "b.bam")
+    sa = run_smooth(cfg, chroms, bam, out_a)
+    monkeypatch.setenv("SVDSS_SMOOTH_CHUNK", "3")
+    sb = run_smooth(cfg, chroms, bam, out_b)
+    assert sa == sb
+    from svdss_tpu.io.bam import BamReader
+    with BamReader(out_a) as ra, BamReader(out_b) as rb:
+        recs_a = [(r.qname, r.seq, r.cigar, r.get_tag("XF"))
+                  for r in ra]
+        recs_b = [(r.qname, r.seq, r.cigar, r.get_tag("XF"))
+                  for r in rb]
+    assert recs_a == recs_b and len(recs_a) > 6
