@@ -327,6 +327,8 @@ def _lane_reset_wide(Q: int, lens: jax.Array,
         aux=jnp.zeros(Q, dtype=jnp.uint32),
         occ_i=jnp.zeros(Q, dtype=jnp.int32),
         bhi=jnp.zeros(Q, dtype=jnp.int32),
+        llcp=jnp.zeros(Q, dtype=jnp.int32),
+        rlcp=jnp.zeros(Q, dtype=jnp.int32),
         inj_m=jnp.zeros(Q, dtype=jnp.int32),
         occ_pos=jnp.zeros(Q, dtype=jnp.uint32),
         ext=jnp.zeros(Q, dtype=jnp.int32),
@@ -390,8 +392,21 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
 
         # ---- read-row gather (gather 1)
         # right compares read side dirb forward; left compares the OTHER
-        # side backward from the mirror cursor (comp(P'[x]) = P''[L-1-x])
-        ext_eff = jnp.where(is_ver, s["ext"], 0)
+        # side backward from the mirror cursor (comp(P'[x]) = P''[L-1-x]).
+        # LCP-skip probes (Manber-Myers): a re-probe (POS round on a
+        # sorted bucket) starts its compare at min(llcp, rlcp) — the
+        # probed entry provably shares that many symbols with the query
+        # (sorted-bucket fence invariant), so repeat-family buckets stop
+        # re-comparing their shared prefixes round after round (the
+        # probe-CONTINUATION tax measured on the 1.2G repeat genome).
+        if sorted_b:
+            probe_pos = is_pos & ~(strand == 1) if params.right_only \
+                else is_pos
+        else:
+            probe_pos = jnp.zeros(Q, dtype=bool)
+        ext_floor = jnp.minimum(s["llcp"], s["rlcp"])
+        ext_eff = jnp.where(is_ver, s["ext"],
+                            jnp.where(probe_pos, ext_floor, 0))
         r_right = jnp.where(is_key, u, u + k + ext_eff)
         v_left = lens - 1 - (u + k + ext_eff)
         use_left = on_b & (is_keyb | is_pos | is_ver)
@@ -720,6 +735,18 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
             done1 = ver_like & ~survive1
             lo2 = jnp.where(done1 & lt1, mid_eff + 1, lo_eff)
             hi2 = jnp.where(done1 & ~lt1, mid_eff, bhi_eff)
+            # LCP-skip bookkeeping: a finished probe's mismatch offset
+            # IS lcp(query, probed entry); it becomes the new fence lcp
+            # on whichever side the bracket moves. Bucket starts reset
+            # both fences.
+            probe_ctx = ver_like & ~is_linb if params.right_only \
+                else ver_like
+            llcp_eff = jnp.where(is_key | is_keyb, 0, s["llcp"])
+            rlcp_eff = jnp.where(is_key | is_keyb, 0, s["rlcp"])
+            llcp2 = jnp.where(done1 & probe_ctx & lt1, ext1_new,
+                              llcp_eff)
+            rlcp2 = jnp.where(done1 & probe_ctx & ~lt1, ext1_new,
+                              rlcp_eff)
             if params.right_only:
                 cont_A = ver_like & ~is_linb & ~early & survive1
                 cont_B = ver_like & is_linb & ~early \
@@ -760,6 +787,7 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
             occ_i2 = jnp.where(more_occ, next_i,
                                jnp.where(cont_from2, j2, occ_i_eff))
             bhi2 = s["bhi"]
+            llcp2, rlcp2 = s["llcp"], s["rlcp"]
         # orientation handoff: A exhausted and B has occurrences (lanes
         # whose chained A verify resolves in their KEY round read the
         # B count computed THIS round, not the stale state)
@@ -865,6 +893,7 @@ def _make_round_body_wide(index: DeviceAnchorWide, params: WideParams,
                    dirb=dir2, mode=mode2, anc=anc2, strand=strand2,
                    key=key2, keyb=keyb2, cntb=cntb2, subj=subj2,
                    cnt=cnt2, aux=aux2, occ_i=occ2, bhi=bhi2,
+                   llcp=llcp2, rlcp=rlcp2,
                    occ_pos=occ_pos2, ext=ext2, best=best2,
                    nstage=nstage, stage_qs=stage_qs, stage_l=stage_l,
                    age=age2, done_r=done_r2)
