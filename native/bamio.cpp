@@ -179,3 +179,109 @@ int svdss_bam_scan(const uint8_t *data, int64_t size, int64_t **out_recs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Search-stage read extraction (pipeline/search.py::eligible_reads_bam
+// in native form — the Python per-record parse fed the device at only
+// a few hundred reads/s on whole-genome BAMs; the 1 Gbp end-to-end's
+// search stage was input-bound on it). Eligibility matches
+// ping_pong.cpp:66-79, 196-203: primary alignment (flag clear of
+// 0x4|0x100|0x800), l_seq >= min_len, and (when putative) XF == 0.
+// XF/HP integer aux tags are parsed here; hp defaults to 0.
+
+namespace {
+inline int64_t aux_int(const uint8_t *p, char type) {
+  switch (type) {
+    case 'c': return *(const int8_t *)p;
+    case 'C': return *p;
+    case 's': { int16_t v; std::memcpy(&v, p, 2); return v; }
+    case 'S': { uint16_t v; std::memcpy(&v, p, 2); return v; }
+    case 'i': { int32_t v; std::memcpy(&v, p, 4); return v; }
+    case 'I': { uint32_t v; std::memcpy(&v, p, 4); return v; }
+    default: return 0;
+  }
+}
+
+inline int64_t aux_size(const uint8_t *p, const uint8_t *end,
+                        char type) {
+  switch (type) {
+    case 'A': case 'c': case 'C': return 1;
+    case 's': case 'S': return 2;
+    case 'i': case 'I': case 'f': return 4;
+    case 'Z': case 'H': {
+      const uint8_t *q = p;
+      while (q < end && *q) ++q;
+      return (q - p) + 1;
+    }
+    case 'B': {
+      if (p + 5 > end) return end - p;
+      char sub = (char)p[0];
+      uint32_t cnt;
+      std::memcpy(&cnt, p + 1, 4);
+      int64_t es = (sub == 'c' || sub == 'C') ? 1
+                   : (sub == 's' || sub == 'S') ? 2 : 4;
+      return 5 + (int64_t)cnt * es;
+    }
+    default: return end - p;   // unknown: stop the scan
+  }
+}
+}  // namespace
+
+extern "C" {
+
+// recs: the [n,8] table from svdss_bam_scan. elig/xf/hp caller-owned.
+void svdss_search_scan(const uint8_t *data, const int64_t *recs,
+                       int64_t n, int32_t min_len, int32_t putative,
+                       uint8_t *elig, int32_t *xf, int32_t *hp) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t *rs = recs + i * 8;
+    const int64_t r = rs[0], bs = rs[1];
+    const int64_t flag = rs[4], l_seq = rs[6], ncig = rs[7];
+    xf[i] = 0;
+    hp[i] = 0;
+    elig[i] = 0;
+    if ((flag & (0x4 | 0x100 | 0x800)) || l_seq < min_len) continue;
+    const int64_t lrn = data[r + 8];
+    const uint8_t *p = data + r + 32 + lrn + 4 * ncig
+                       + (l_seq + 1) / 2 + l_seq;
+    const uint8_t *end = data + r + bs;
+    while (p + 3 <= end) {
+      const char t0 = (char)p[0], t1 = (char)p[1], ty = (char)p[2];
+      const uint8_t *val = p + 3;
+      const int64_t sz = aux_size(val, end, ty);
+      if (val + sz > end) break;
+      if (t0 == 'X' && t1 == 'F') xf[i] = (int32_t)aux_int(val, ty);
+      else if (t0 == 'H' && t1 == 'P') hp[i] = (int32_t)aux_int(val, ty);
+      p = val + sz;
+    }
+    if (putative && xf[i] != 0) continue;
+    elig[i] = 1;
+  }
+}
+
+// nt16 nibble -> nt6 (A=1 C=2 G=3 T=4, everything else 5 — matches
+// NT16_STR x utils/seq.NT6_TABLE composition)
+static const uint8_t kNib2Nt6[16] = {5, 1, 2, 5, 3, 5, 5, 5,
+                                     4, 5, 5, 5, 5, 5, 5, 5};
+
+// starts[i]: output offset for eligible record i (caller prefix-sums
+// eligible l_seq); out_seq receives nt6 codes.
+void svdss_search_extract(const uint8_t *data, const int64_t *recs,
+                          int64_t n, const uint8_t *elig,
+                          const int64_t *starts, uint8_t *out_seq) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (!elig[i]) continue;
+    const int64_t *rs = recs + i * 8;
+    const int64_t r = rs[0], l_seq = rs[6], ncig = rs[7];
+    const int64_t lrn = data[r + 8];
+    const uint8_t *sq = data + r + 32 + lrn + 4 * ncig;
+    uint8_t *out = out_seq + starts[i];
+    for (int64_t j = 0; j < l_seq; ++j) {
+      const uint8_t nib = (j & 1) ? (sq[j >> 1] & 0xF)
+                                  : (sq[j >> 1] >> 4);
+      out[j] = kNib2Nt6[nib];
+    }
+  }
+}
+
+}  // extern "C"

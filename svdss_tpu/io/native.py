@@ -74,6 +74,16 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
             lib.svdss_wide_sort.restype = None
+        if hasattr(lib, "svdss_search_scan"):
+            lib.svdss_search_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.svdss_search_scan.restype = None
+            lib.svdss_search_extract.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.svdss_search_extract.restype = None
         if hasattr(lib, "svdss_wide_sort_right"):
             lib.svdss_wide_sort_right.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,

@@ -115,6 +115,76 @@ def eligible_reads_bam(bam_path: str, putative: bool
             yield rec.qname, rec.seq, int(hp)
 
 
+def eligible_reads_bam_native(bam_path: str, putative: bool):
+    """Native fast path for the search stage's read extraction:
+    parallel BGZF inflate + one C pass for eligibility / XF / HP aux
+    tags / nt6 sequence decode (native/bamio.cpp svdss_search_scan +
+    svdss_search_extract). The Python per-record parse fed the device
+    at a few hundred reads/s on whole-genome BAMs — the 1 Gbp
+    end-to-end's search stage was input-bound on it. Yields (qname,
+    nt6 uint8 array, hp); returns None when the library is absent
+    (callers fall back to eligible_reads_bam)."""
+    import ctypes
+    from ..io import native as nat
+    lib = nat.load()
+    if lib is None or not hasattr(lib, "svdss_search_scan"):
+        return None
+    data = nat.bgzf_read_all(bam_path)
+    if data is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    recsp = ctypes.c_void_p()
+    nrecs = ctypes.c_int64()
+    if lib.svdss_bam_scan(buf.ctypes.data, len(buf),
+                          ctypes.byref(recsp),
+                          ctypes.byref(nrecs)) != 0:
+        return None
+    n = int(nrecs.value)
+    try:
+        recs = np.ctypeslib.as_array(
+            ctypes.cast(recsp, P64), shape=(max(n, 1), 8))[:n].copy()
+    finally:
+        lib.svdss_free(recsp)
+
+    def gen():
+        elig = np.zeros(n, dtype=np.uint8)
+        xf = np.zeros(n, dtype=np.int32)
+        hp = np.zeros(n, dtype=np.int32)
+        if n:
+            lib.svdss_search_scan(
+                buf.ctypes.data, recs.ctypes.data, n, MIN_READ_LEN,
+                1 if putative else 0, elig.ctypes.data,
+                xf.ctypes.data, hp.ctypes.data)
+        offs = recs[:, 0]
+        l_seq = recs[:, 6]
+        lrn = buf[np.minimum(offs + 8, len(buf) - 1)].astype(np.int64)
+        CH = 65536               # records per extraction chunk
+        for lo in range(0, n, CH):
+            hi = min(n, lo + CH)
+            e = elig[lo:hi].astype(bool)
+            if not e.any():
+                continue
+            ls = np.where(e, l_seq[lo:hi], 0)
+            starts = np.zeros(hi - lo, dtype=np.int64)
+            np.cumsum(ls[:-1], out=starts[1:])
+            out = np.empty(int(ls.sum()), dtype=np.uint8)
+            lib.svdss_search_extract(
+                buf.ctypes.data, recs[lo:hi].ctypes.data, hi - lo,
+                np.ascontiguousarray(elig[lo:hi]).ctypes.data,
+                starts.ctypes.data, out.ctypes.data)
+            for i in np.nonzero(e)[0]:
+                gi = lo + int(i)
+                o = int(offs[gi])
+                qname = buf[o + 32:o + 32 + int(lrn[gi]) - 1] \
+                    .tobytes().decode()
+                s0 = int(starts[i])
+                yield (qname, out[s0:s0 + int(l_seq[gi])],
+                       int(hp[gi]))
+
+    return gen()
+
+
 def eligible_reads_fastx(path: str) -> Iterator[Tuple[str, str, int]]:
     """FASTA/FASTQ input (no filters, hp=0), cf. load_batch_fastq."""
     import gzip
@@ -468,7 +538,9 @@ def run_search(config: Config, index: FMDIndex,
     ping_pong.cpp:344-355), bounding writer memory on whole-genome runs.
     """
     if bam:
-        reads = eligible_reads_bam(bam, config.putative)
+        reads = eligible_reads_bam_native(bam, config.putative)
+        if reads is None:
+            reads = eligible_reads_bam(bam, config.putative)
     elif fastx:
         reads = eligible_reads_fastx(fastx)
     else:
@@ -513,7 +585,8 @@ def run_search(config: Config, index: FMDIndex,
             batch = []
 
         for qname, seq, hp in reads:
-            batch.append((qname, hp, encode_nt6(seq)))
+            batch.append((qname, hp, seq if isinstance(seq, np.ndarray)
+                          else encode_nt6(seq)))
             nreads += 1
             if len(batch) >= config.batch_size:
                 flush_host()
@@ -570,7 +643,7 @@ def run_search(config: Config, index: FMDIndex,
             emit_ready()
 
         for qname, seq, hp in _prefetch(reads):
-            enc = encode_nt6(seq)
+            enc = seq if isinstance(seq, np.ndarray) else encode_nt6(seq)
             b = _bucket_len(len(enc))
             if pool is None or b > pool.Lp1 - 1:
                 if pool is not None:
@@ -628,7 +701,7 @@ def run_search(config: Config, index: FMDIndex,
 
         counters: Dict[int, int] = {}
         for qname, seq, hp in _prefetch(reads):
-            enc = encode_nt6(seq)
+            enc = seq if isinstance(seq, np.ndarray) else encode_nt6(seq)
             b = _bucket_len(len(enc))
             idx = counters.get(b, 0)
             counters[b] = idx + 1

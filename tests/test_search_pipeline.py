@@ -212,3 +212,41 @@ def test_engine_cost_model_gate():
     w_sat = build_anchor_index_wide(_fwd_text(sat), k=8, cmax=2000)
     a2, fm2, depth2 = wide_engine_cost(w_sat)
     assert depth2 > 50 and a2 > fm2            # FM engine wins
+
+
+def test_native_read_extraction_matches_python():
+    """eligible_reads_bam_native must yield exactly the python
+    extractor's (qname, nt6, hp) stream — XF/HP tag parse, eligibility
+    flags, and nibble->nt6 decode included."""
+    import tempfile
+    import numpy as np
+    from svdss_tpu.config import Config
+    from svdss_tpu.io.bam import BamHeader, BamWriter
+    from svdss_tpu.pipeline.search import (eligible_reads_bam,
+                                           eligible_reads_bam_native)
+    from svdss_tpu.pipeline.smooth import run_smooth
+    from svdss_tpu.utils.seq import encode_nt6
+    from svdss_tpu.utils.simulate import (make_haplotype, random_genome,
+                                          simulate_reads)
+    rng = np.random.default_rng(29)
+    chroms = random_genome(rng, {"c1": 25_000})
+    hap = make_haplotype(rng, "c1", chroms["c1"], n_ins=2, n_del=1,
+                         min_len=60, max_len=150)
+    recs = simulate_reads(rng, [hap], coverage=5, read_len=1_500)
+    with tempfile.TemporaryDirectory() as td:
+        bam = td + "/in.bam"
+        smoothed = td + "/sm.bam"
+        header = BamHeader.from_refs([("c1", len(chroms["c1"]))])
+        with BamWriter(bam, header) as w:
+            for i, rec in enumerate(recs):
+                rec.tid = 0
+                if i % 5 == 0:
+                    rec.set_tag("HP", "i", (i % 2) + 1)
+                w.write(rec)
+        run_smooth(Config(threads=2), chroms, bam, smoothed)
+        want = [(q, encode_nt6(s).tolist(), hp)
+                for q, s, hp in eligible_reads_bam(smoothed, True)]
+        gen = eligible_reads_bam_native(smoothed, True)
+        assert gen is not None, "native library must be built in CI"
+        got = [(q, e.tolist(), hp) for q, e, hp in gen]
+        assert got == want and len(want) > 20
