@@ -390,10 +390,25 @@ class _DeviceSearcher:
         """Per-bucket lane count: the lane budget is symbol-denominated
         (lanes x L ~ const, tuned at the 10kb shape) — at 30kb a flat
         Q=4096 measured 29% below the base-budget Q=1280 (VALIDATION
-        r04); shorter buckets keep the configured lane count."""
+        r04), and at 2kb Q=8192 measured +24% over Q=4096 (r05), so
+        short buckets may grow up to 4x the configured lane count."""
         base = self.lanes * 10_000
-        q = max(256, min(self.lanes, base // max(L, 1)))
+        q = max(256, min(4 * self.lanes, base // max(L, 1)))
         return max(256, (q // 256) * 256)
+
+    def round_cap_for(self, L: int) -> int:
+        """Lockstep round cap for one-shot narrow-anchor batches: the
+        straggler tail costs real wall (done_r p50 476 / p99 699 / max
+        749 at the 10kb bench shape) — capping at ~p99 (L/14) sends the
+        ~1% slowest lanes to the exact host path, whose redo overlaps
+        the next device batch via the deferred-redo thread, measured
+        +10% end-to-end (VALIDATION r05). The p99 anchor is a SMOOTHED-
+        read statistic; unsmoothed inputs (FASTQ, --noputative) have
+        far denser SFS tails and keep the full round budget (0 =
+        engine default)."""
+        if not getattr(self, "smoothed_input", False):
+            return 0
+        return max(384, L // 14)
 
     def dispatch(self, encoded: List[np.ndarray]):
         """Launch a device batch asynchronously; returns an opaque handle.
@@ -451,6 +466,7 @@ class _DeviceSearcher:
             from ..ops.anchor_jax import batch_search_anchor
             res = batch_search_anchor(self.anchor, self.anchor_params,
                                       seqs, lens, cap=cap,
+                                      max_rounds=self.round_cap_for(L),
                                       overlap=self.config.overlap)
         elif self.jump_k:
             from ..utils.seq import kmer_keys
@@ -551,6 +567,10 @@ def run_search(config: Config, index: FMDIndex,
 
     searcher = _DeviceSearcher(index, config, anchor) \
         if config.use_device else None
+    if searcher is not None:
+        # smoothed-BAM inputs carry the XF==0 filter whose round-count
+        # statistics the straggler cap is tuned on (round_cap_for)
+        searcher.smoothed_input = bam is not None and config.putative
 
     groups: List[Tuple[str, List[SFS]]] = []
     t0 = time.time()
